@@ -1,0 +1,160 @@
+"""Image primitives: pyramids, gradients, bilinear patch sampling.
+
+These are the batched building blocks under the frontend's detection/tracking
+kernels (the reference leans on OpenCV for all of this: cv::buildOpticalFlowPyramid,
+cv::Scharr/Sobel inside calcOpticalFlowPyrLK, /root/reference/src/frontend.cpp:105-109).
+
+TPU mapping:
+  * whole-image filters are `lax.conv_general_dilated` calls — XLA tiles them;
+  * per-point patch reads are vmapped `lax.dynamic_slice` + bilinear blend,
+    which lowers to a batched gather of contiguous windows (far cheaper on TPU
+    than per-pixel gathers);
+  * everything is static-shaped; out-of-bounds is tracked with masks, not
+    branches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _conv2d_same(img: jax.Array, kernel: jax.Array) -> jax.Array:
+    """2-D correlation with SAME padding on a single-channel image (H, W)."""
+    x = img[None, None, :, :]
+    k = kernel[None, None, :, :].astype(img.dtype)
+    out = lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out[0, 0]
+
+
+def _sep_filter(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
+    """Separable filter: row kernel kx then column kernel ky."""
+    out = _conv2d_same(img, kx[None, :].astype(img.dtype))
+    return _conv2d_same(out, ky[:, None].astype(img.dtype))
+
+
+def gaussian_kernel1d(size: int, sigma: float | None = None) -> jax.Array:
+    """Odd-sized normalized 1-D Gaussian (OpenCV sigma convention when None)."""
+    if sigma is None or sigma <= 0:
+        sigma = 0.3 * ((size - 1) * 0.5 - 1) + 0.8
+    x = jnp.arange(size, dtype=jnp.float32) - (size - 1) / 2.0
+    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(img: jax.Array, size: int, sigma: float | None = None) -> jax.Array:
+    k = gaussian_kernel1d(size, sigma)
+    return _sep_filter(img, k, k)
+
+
+_PYRDOWN_K = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0]) / 16.0
+
+
+def pyr_down(img: jax.Array) -> jax.Array:
+    """Gaussian 5-tap blur + 2x decimation (cv::pyrDown semantics)."""
+    blurred = _sep_filter(img, _PYRDOWN_K, _PYRDOWN_K)
+    return blurred[::2, ::2]
+
+
+def build_pyramid(img: jax.Array, num_levels: int) -> list[jax.Array]:
+    """List of `num_levels` images, level 0 = full resolution."""
+    levels = [img]
+    for _ in range(num_levels - 1):
+        levels.append(pyr_down(levels[-1]))
+    return levels
+
+
+def resize_half(img: jax.Array) -> jax.Array:
+    """Area-style 2x downscale (the reference halves KITTI images with
+    cv::resize INTER_AREA-ish default, dataset.cpp:126-129): mean over 2x2."""
+    H, W = img.shape
+    H2, W2 = H // 2, W // 2
+    img = img[: H2 * 2, : W2 * 2]
+    return img.reshape(H2, 2, W2, 2).mean(axis=(1, 3))
+
+
+# Scharr derivative (what cv::calcOpticalFlowPyrLK uses internally),
+# normalized by 1/32 so gradients are in intensity-per-pixel units.
+_SCHARR_D = jnp.array([-1.0, 0.0, 1.0])
+_SCHARR_S = jnp.array([3.0, 10.0, 3.0]) / 32.0
+
+
+def scharr_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(Ix, Iy) via the 3x3 Scharr operator."""
+    ix = _sep_filter(img, _SCHARR_D, _SCHARR_S)
+    iy = _sep_filter(img, _SCHARR_S, _SCHARR_D)
+    return ix, iy
+
+
+def sobel_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """(Ix, Iy) via the 3x3 Sobel operator (GFTT's cornerMinEigenVal uses
+    Sobel with blockSize=3)."""
+    d = jnp.array([-1.0, 0.0, 1.0])
+    s = jnp.array([1.0, 2.0, 1.0])
+    ix = _sep_filter(img, d, s)
+    iy = _sep_filter(img, s, d)
+    return ix, iy
+
+
+def sample_patches(img: jax.Array, centers: jax.Array, size: int):
+    """Bilinearly sample `size` x `size` patches centered at float coords.
+
+    Args:
+      img: (H, W) image.
+      centers: (N, 2) float (x, y) patch centers.
+      size: odd patch side length.
+
+    Returns:
+      patches: (N, size, size).
+      valid: (N,) bool — whole patch (incl. the +1 bilinear apron) in bounds.
+    """
+    H, W = img.shape
+    half = (size - 1) / 2.0
+    top_left = centers - half          # (N, 2) float, (x, y)
+    base = jnp.floor(top_left)
+    frac = top_left - base             # in [0, 1)
+    x0 = base[:, 0].astype(jnp.int32)
+    y0 = base[:, 1].astype(jnp.int32)
+
+    valid = (
+        (top_left[:, 0] >= 0.0)
+        & (top_left[:, 1] >= 0.0)
+        & (top_left[:, 0] + size < W)
+        & (top_left[:, 1] + size < H)
+    )
+
+    def one(y, x):
+        return lax.dynamic_slice(img, (y, x), (size + 1, size + 1))
+
+    raw = jax.vmap(one)(jnp.clip(y0, 0, H - size - 1), jnp.clip(x0, 0, W - size - 1))
+
+    fx = frac[:, 0][:, None, None]
+    fy = frac[:, 1][:, None, None]
+    patches = (
+        (1 - fy) * (1 - fx) * raw[:, :-1, :-1]
+        + (1 - fy) * fx * raw[:, :-1, 1:]
+        + fy * (1 - fx) * raw[:, 1:, :-1]
+        + fy * fx * raw[:, 1:, 1:]
+    )
+    return patches, valid
+
+
+def bilinear_sample(img: jax.Array, pts: jax.Array):
+    """Bilinearly sample the image at (N, 2) float (x, y) points.
+
+    Returns (values (N,), valid (N,)).
+    """
+    patches, _ = sample_patches(img, pts, 1)
+    H, W = img.shape
+    valid = (
+        (pts[:, 0] >= 0.0) & (pts[:, 1] >= 0.0)
+        & (pts[:, 0] <= W - 2.0) & (pts[:, 1] <= H - 2.0)
+    )
+    return patches[:, 0, 0], valid

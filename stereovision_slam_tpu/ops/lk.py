@@ -1,0 +1,124 @@
+"""Batched pyramidal Lucas-Kanade sparse optical flow.
+
+TPU-native equivalent of the reference's two `cv::calcOpticalFlowPyrLK` calls
+(/root/reference/src/frontend.cpp:105-109 left->right, :353-357 last->current):
+window 11x11, 4 pyramid levels (maxLevel=3), <=30 Gauss-Newton iterations with
+eps 0.01, OPTFLOW_USE_INITIAL_FLOW semantics (the caller supplies the initial
+guess, e.g. landmark reprojections).
+
+Redesign, not a port: all N points advance together as one batched program —
+per level the spatial-gradient images are two convs shared by every point, the
+per-point work is (patch gather, 2x2 solve), vmapped. The iteration loop is a
+`lax.fori_loop` with a convergence freeze mask instead of per-point early exit,
+so the shape stays static and the whole tracker jits into one XLA program.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stereovision_slam_tpu.ops import image as imops
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
+                 min_eig_threshold):
+    """One pyramid level of LK for all points. Returns (new_guesses, ok)."""
+    H, W = prev_img.shape
+    ix, iy = imops.scharr_gradients(prev_img)
+
+    # template patches + gradient patches (fixed for the level)
+    tmpl, tmpl_ok = imops.sample_patches(prev_img, prev_pts, win_size)
+    gx, _ = imops.sample_patches(ix, prev_pts, win_size)
+    gy, _ = imops.sample_patches(iy, prev_pts, win_size)
+
+    gxx = jnp.sum(gx * gx, axis=(1, 2))
+    gxy = jnp.sum(gx * gy, axis=(1, 2))
+    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    tr_half = 0.5 * (gxx + gyy)
+    min_eig = (tr_half - jnp.sqrt(jnp.maximum(tr_half * tr_half - det, 0.0)))
+    min_eig = min_eig / (win_size * win_size)
+    solvable = (min_eig > min_eig_threshold) & (det > 1e-12)
+    det_safe = jnp.where(det > 1e-12, det, 1.0)
+
+    def body(_, carry):
+        pts, frozen = carry
+        cur, inb = imops.sample_patches(cur_img, pts, win_size)
+        diff = cur - tmpl
+        bx = jnp.sum(diff * gx, axis=(1, 2))
+        by = jnp.sum(diff * gy, axis=(1, 2))
+        # solve G d = b with G = [[gxx, gxy], [gxy, gyy]]
+        dx = (gyy * bx - gxy * by) / det_safe
+        dy = (gxx * by - gxy * bx) / det_safe
+        delta = jnp.stack([dx, dy], axis=-1)
+        step_ok = solvable & inb & ~frozen
+        new_pts = jnp.where(step_ok[:, None], pts - delta, pts)
+        converged = jnp.sum(delta * delta, axis=-1) < eps * eps
+        return new_pts, frozen | (converged & step_ok) | ~(solvable & inb)
+
+    out_pts, _ = lax.fori_loop(0, max_iters, body,
+                               (guesses, jnp.zeros(guesses.shape[0], jnp.bool_)))
+    _, final_inb = imops.sample_patches(cur_img, out_pts, win_size)
+    ok = tmpl_ok & solvable & final_inb
+    return out_pts, ok
+
+
+def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
+          win_size: int = 11, max_iters: int = 30, eps: float = 0.01,
+          min_eig_threshold: float = 1e-4):
+    """Track points from the previous image into the current image.
+
+    Args:
+      prev_pyramid/cur_pyramid: lists of (H, W) float images, level 0 finest
+        (see :func:`stereovision_slam_tpu.ops.image.build_pyramid`).
+      prev_pts: (N, 2) float (x, y) points in the previous image.
+      initial_pts: (N, 2) initial guesses in the current image
+        (OPTFLOW_USE_INITIAL_FLOW); defaults to prev_pts.
+
+    Returns:
+      cur_pts: (N, 2) tracked points.
+      status: (N,) bool track validity (in-bounds + well-conditioned, matching
+        the border/status culling at frontend.cpp:115-121).
+    """
+    num_levels = len(prev_pyramid)
+    if initial_pts is None:
+        initial_pts = prev_pts
+    scale_top = 0.5 ** (num_levels - 1)
+    guesses = initial_pts * scale_top
+    status = jnp.ones(prev_pts.shape[0], dtype=jnp.bool_)
+
+    # Edge-pad every level by the window apron so patches at (and slightly
+    # past) the true image border remain well-defined — coarse levels of
+    # KITTI-sized images are only a few window-widths tall, and without the
+    # pad border points would freeze at the coarse levels and never converge.
+    pad = win_size // 2 + 2
+    off = jnp.asarray([pad, pad], dtype=guesses.dtype)
+
+    for level in range(num_levels - 1, -1, -1):
+        s = 0.5 ** level
+        pts_l = prev_pts * s + off
+        prev_p = jnp.pad(prev_pyramid[level], pad, mode="edge")
+        cur_p = jnp.pad(cur_pyramid[level], pad, mode="edge")
+        guesses, ok = _track_level(
+            prev_p, cur_p, pts_l, guesses + off,
+            win_size, max_iters, eps, min_eig_threshold)
+        guesses = guesses - off
+        # only require conditioning at the finest level (coarse levels just
+        # refine the guess; OpenCV behaves similarly for small images)
+        if level == 0:
+            status = status & ok
+        if level > 0:
+            guesses = guesses * 2.0
+
+    H, W = cur_pyramid[0].shape
+    inb = (
+        (guesses[:, 0] >= 0.0) & (guesses[:, 0] < W)
+        & (guesses[:, 1] >= 0.0) & (guesses[:, 1] < H)
+    )
+    return guesses, status & inb
