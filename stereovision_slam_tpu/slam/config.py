@@ -1,0 +1,97 @@
+"""SLAM configuration.
+
+Replaces the reference's OpenCV-FileStorage singleton
+(/root/reference/src/config.cpp:15-35, config.h:8-34) with a plain dataclass.
+Key names match default.yaml (config/stereo_slam_configs/default.yaml:1-57) so
+the reference's per-sequence YAML files drop in unchanged; the OpenCV
+"%YAML:1.0" directive line is tolerated.
+
+Static capacities (feature slots, window sizes, landmark table size) live here
+too — they size every fixed-shape device buffer, which the reference's
+pointer-graph design never needed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass
+class SlamConfig:
+    # --- dataset (default.yaml:4-9) ---
+    dataset_dir: str = ""
+    left_cam_index: int = 0
+    right_cam_index: int = 1
+    is_color_input: int = 0
+    output_dir: str = "./outputs/SLAM-outputs"
+
+    # --- frontend (default.yaml:12-21) ---
+    num_features: int = 150
+    num_features_init: int = 50
+    num_features_tracking: int = 50
+    num_features_tracking_bad: int = 20
+    num_features_needed_for_keyframe: int = 80
+    max_triangulation_depth: float = 300.0
+    keypoint_feature_detector: str = "GFTT"
+
+    # --- map (default.yaml:26) ---
+    num_active_keyframes: int = 10
+
+    # --- backend (default.yaml:31-32) ---
+    backend_on: int = 1
+    chi2_th: float = 5.991
+
+    # --- loop closure (default.yaml:37-47) ---
+    loopclosure_on: int = 1
+    keyframes_to_ignore_after_loop: int = 5
+    potential_loop_weak_threshold: float = 0.92
+    potential_loop_strong_threshold: float = 0.95
+    max_num_weak_threshold: int = 3
+    min_num_acceptable_keypoint_match: int = 11
+    min_pose_differnece_between_old_new: float = 1.0   # [sic] reference key
+    max_pose_differnece_between_old_new: float = 50.0  # [sic] reference key
+    max_pose_distance_between_loop_keyframes: float = 20.0
+    global_pose_graph_optimization: int = 1
+
+    # --- visualization (default.yaml:52) ---
+    visualizer_on: int = 1
+
+    # --- TPU-native static capacities (new; no reference analogue) ---
+    max_features: int = 256          # feature slots per frame (>= num_features)
+    max_landmarks: int = 4096        # active landmark table size
+    max_keyframes_window: int = 16   # padded active-KF window (>= num_active_keyframes)
+    max_total_keyframes: int = 4096  # pose-graph capacity
+    lk_num_levels: int = 4           # cv maxLevel=3 -> 4 levels (frontend.cpp:107)
+    lk_win_size: int = 11
+    lk_max_iters: int = 30
+    gftt_quality_level: float = 0.01
+    gftt_min_distance: int = 20
+    pose_rounds: int = 4             # frontend.cpp:481-524
+    pose_iters_per_round: int = 10
+    ba_lm_iters: int = 10            # backend.cpp:162-164
+    ba_outlier_rounds: int = 5       # backend.cpp:166-193
+    image_height: int = 188          # KITTI 2x-downsampled (dataset.cpp:126-129)
+    image_width: int = 620
+
+    @staticmethod
+    def from_yaml(path: str) -> "SlamConfig":
+        with open(path) as f:
+            text = f.read()
+        # tolerate the OpenCV FileStorage "%YAML:1.0" directive
+        lines = [ln for ln in text.splitlines() if not ln.startswith("%YAML")]
+        data = yaml.safe_load("\n".join(lines)) or {}
+        cfg = SlamConfig()
+        known = {f.name: f for f in dataclasses.fields(SlamConfig)}
+        for key, value in data.items():
+            key = key.strip()
+            if key in known:
+                setattr(cfg, key, type(getattr(cfg, key))(value))
+        return cfg
+
+    def get(self, key: str, default: Any = None) -> Any:
+        """Config::Get<T>-style access by reference key name (config.h:29-33)."""
+        return getattr(self, key, default)

@@ -1,0 +1,197 @@
+"""Tracking frontend: batched detection, LK tracking, pose solve, keyframing.
+
+TPU-native redesign of the reference `Frontend`
+(/root/reference/src/frontend.cpp): the per-frame hot path is ONE jitted
+program (`track_step`) — LK last->current with landmark-reprojection initial
+guesses (frontend.cpp:322-392), then the 4x10 LM pose schedule
+(frontend.cpp:394-558) — and keyframe insertion is a second jitted program
+(`keyframe_step`) covering DetectFeatures + FindFeaturesInRight +
+TriangulateNewPoints + map insertion (frontend.cpp:576-643, 143-214).
+
+The reference's per-feature pointer graph becomes F fixed feature slots with
+(uv, landmark-slot, valid) arrays; the status machine (INITING / GOOD / BAD /
+LOST, frontend.cpp:645-721) stays on the host where it belongs — it's
+control flow between device programs.
+"""
+
+from __future__ import annotations
+
+import enum
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from stereovision_slam_tpu.geometry import se3, jacobians
+from stereovision_slam_tpu.geometry.camera import Camera, pixel2camera
+from stereovision_slam_tpu.geometry import triangulation
+from stereovision_slam_tpu.ops import gftt, lk
+from stereovision_slam_tpu.slam import map_state as mapmod
+from stereovision_slam_tpu.slam.pose_solver import solve_pose
+
+
+class FrontendStatus(enum.Enum):
+    INITING = 0
+    TRACKING_GOOD = 1
+    TRACKING_BAD = 2
+    LOST = 3
+
+
+class FrontendState(NamedTuple):
+    T_cur: jax.Array      # (3, 4) current frame pose T_c_w
+    T_rel: jax.Array      # (3, 4) constant-velocity relative motion
+    feat_uv: jax.Array    # (F, 2) left-image feature positions
+    feat_lm: jax.Array    # (F,) landmark slot per feature, -1 = none
+    feat_valid: jax.Array # (F,) slot in use
+    pyr: tuple            # last frame's left-image pyramid
+
+
+def init_state(F: int, pyramid, dtype=jnp.float32) -> FrontendState:
+    return FrontendState(
+        T_cur=se3.se3_identity(dtype),
+        T_rel=se3.se3_identity(dtype),
+        feat_uv=jnp.zeros((F, 2), dtype),
+        feat_lm=jnp.full((F,), -1, jnp.int32),
+        feat_valid=jnp.zeros((F,), bool),
+        pyr=tuple(pyramid),
+    )
+
+
+def _landmark_guesses(cam: Camera, T_guess: jax.Array, m: mapmod.MapState,
+                      feat_uv: jax.Array, feat_lm: jax.Array,
+                      feat_valid: jax.Array):
+    """Initial LK guesses: project linked landmarks, else keep the position
+    (frontend.cpp:331-352 / 82-99)."""
+    safe = jnp.clip(feat_lm, 0, m.lm_pos.shape[0] - 1)
+    lm_pos = m.lm_pos[safe]
+    linked = feat_valid & (feat_lm >= 0) & m.lm_valid[safe]
+    proj, p_cam = jacobians.project_points(cam, T_guess, lm_pos)
+    use_proj = linked & (p_cam[..., 2] > 1e-3)
+    guess = jnp.where(use_proj[:, None], proj, feat_uv)
+    return guess, lm_pos, linked
+
+
+@partial(jax.jit, static_argnames=("chi2_th", "rounds", "iters"))
+def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
+               cam_left: Camera, chi2_th: float = 5.991, rounds: int = 4,
+               iters: int = 10):
+    """Track last-frame features into the current frame and solve the pose.
+
+    One fused device program for the reference's Track() path
+    (frontend.cpp:645-688): constant-velocity pose init, LK with reprojection
+    guesses, LM pose solve with outlier unlinking, motion-model update.
+
+    Returns (new_state, num_inliers, num_tracked).
+    """
+    T_guess = se3.se3_compose(fs.T_rel, fs.T_cur)
+    guess, lm_pos, linked = _landmark_guesses(
+        cam_left, T_guess, m, fs.feat_uv, fs.feat_lm, fs.feat_valid)
+
+    cur_uv, status = lk.track(list(fs.pyr), list(cur_pyr), fs.feat_uv,
+                              initial_pts=guess)
+    tracked = fs.feat_valid & status
+    num_tracked = jnp.sum(tracked).astype(jnp.int32)
+
+    use = tracked & linked
+    T_new, inlier, num_inliers = solve_pose(
+        cam_left, T_guess, lm_pos, cur_uv, use, chi2_th=chi2_th,
+        rounds=rounds, iters=iters)
+
+    # unlink outlier features from their landmarks (frontend.cpp:544-553);
+    # features that failed tracking are dead slots
+    feat_lm = jnp.where(tracked & ~(use & ~inlier), fs.feat_lm, -1)
+
+    fs_new = FrontendState(
+        T_cur=T_new,
+        T_rel=se3.se3_compose(T_new, se3.se3_inverse(fs.T_cur)),
+        feat_uv=cur_uv,
+        feat_lm=feat_lm,
+        feat_valid=tracked,
+        pyr=tuple(cur_pyr),
+    )
+    return fs_new, num_inliers, num_tracked
+
+
+@partial(jax.jit, static_argnames=(
+    "num_features", "min_distance", "quality_level", "max_depth",
+    "num_active", "detect_all"), donate_argnums=(1,))
+def keyframe_step(fs: FrontendState, m: mapmod.MapState, right_pyr: tuple,
+                  cam_left: Camera, cam_right: Camera, frame_id, kf_id,
+                  num_features: int = 150, min_distance: int = 20,
+                  quality_level: float = 0.01, max_depth: float = 300.0,
+                  num_active: int = 10, detect_all: bool = False):
+    """Make the current frame a keyframe.
+
+    Covers Frontend::InsertKeyframe + StereoInit (frontend.cpp:576-643,
+    216-320): detect new corners (masked around survivors), LK left->right,
+    triangulate unlinked features, create landmarks, insert the keyframe (with
+    window eviction) into the map.
+
+    `detect_all=True` is the StereoInit path (no masking, empty state).
+
+    Returns (fs', m', evicted, num_new_landmarks, num_right_tracks).
+    """
+    F = fs.feat_uv.shape[0]
+    left_img = fs.pyr[0]
+    H, W = left_img.shape
+
+    # --- 1. detect new corners away from existing features ---
+    if detect_all:
+        mask = None
+    else:
+        mask = gftt.occupancy_mask((H, W), fs.feat_uv, fs.feat_valid,
+                                   min_distance // 2)
+    new_pts, new_valid, _ = gftt.detect(
+        left_img, max_corners=F, quality_level=quality_level,
+        min_distance=min_distance, mask=mask)
+    # cap at num_features detections (cv::GFTTDetector maxCorners,
+    # frontend.cpp:24); detections come strongest-first
+    cap = jnp.arange(F) < num_features
+    new_valid = new_valid & cap
+
+    # merge detections into free feature slots
+    free_slots = jnp.nonzero(~fs.feat_valid, size=F, fill_value=-1)[0]
+    order = jnp.cumsum(new_valid.astype(jnp.int32)) - 1
+    dst = jnp.where(new_valid, free_slots[jnp.clip(order, 0, F - 1)], -1)
+    ok = new_valid & (dst >= 0)
+    # out-of-bounds + drop for masked entries (in-bounds dummies collide)
+    safe_dst = jnp.where(ok, dst, F)
+    feat_uv = fs.feat_uv.at[safe_dst].set(new_pts, mode="drop")
+    feat_valid = fs.feat_valid.at[safe_dst].set(True, mode="drop")
+    feat_lm = fs.feat_lm
+
+    # --- 2. LK left -> right with reprojection guesses ---
+    guess_r, lm_pos, linked = _landmark_guesses(
+        cam_right, fs.T_cur, m, feat_uv, feat_lm, feat_valid)
+    uv_r, status_r = lk.track(list(fs.pyr), list(right_pyr), feat_uv,
+                              initial_pts=guess_r)
+    has_r = feat_valid & status_r
+    num_right = jnp.sum(has_r).astype(jnp.int32)
+
+    # --- 3. triangulate unlinked features with right tracks ---
+    # in the rig frame through the two camera extrinsics (frontend.cpp:173-185,
+    # 251-320), then to world through the inverse frame pose
+    pl = pixel2camera(cam_left, feat_uv)[:, :2]
+    pr = pixel2camera(cam_right, uv_r)[:, :2]
+    poses2 = jnp.stack([cam_left.pose, cam_right.pose])
+    pts2 = jnp.stack([pl, pr], axis=1)
+    xyz_rig, tri_ok = triangulation.triangulate(poses2, pts2)
+    depth_ok = (xyz_rig[:, 2] > 0.0) & (xyz_rig[:, 2] <= max_depth)
+    world = se3.se3_apply(se3.se3_inverse(fs.T_cur), xyz_rig)
+    create = feat_valid & has_r & (feat_lm < 0) & tri_ok & depth_ok
+
+    m, slots = mapmod.add_landmarks(m, world, create,
+                                    jnp.asarray(kf_id, jnp.int32))
+    feat_lm = jnp.where((slots >= 0) & create, slots, feat_lm)
+    num_new = jnp.sum((slots >= 0) & create).astype(jnp.int32)
+
+    # --- 4. insert the keyframe with its observations ---
+    m, ev = mapmod.insert_keyframe(
+        m, fs.T_cur, jnp.asarray(frame_id, jnp.int32),
+        jnp.asarray(kf_id, jnp.int32), feat_uv, uv_r, feat_lm,
+        has_r & (feat_lm >= 0), feat_valid, num_active=num_active)
+
+    fs_new = fs._replace(feat_uv=feat_uv, feat_lm=feat_lm,
+                         feat_valid=feat_valid)
+    return fs_new, m, ev, num_new, num_right

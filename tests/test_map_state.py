@@ -1,0 +1,116 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereovision_slam_tpu.geometry import se3
+from stereovision_slam_tpu.slam import map_state as mapmod
+
+K, F, L = 8, 16, 64
+
+
+def make_kf_features(n_feats, lm_slots):
+    uv = jnp.tile(jnp.array([[10.0, 10.0]]), (F, 1))
+    lm = jnp.full((F,), -1, jnp.int32).at[:len(lm_slots)].set(jnp.array(lm_slots, jnp.int32))
+    has_r = jnp.zeros((F,), bool).at[:n_feats].set(True)
+    valid = jnp.zeros((F,), bool).at[:n_feats].set(True)
+    return uv, uv + 1.0, lm, has_r, valid
+
+
+def test_add_landmarks_allocates_slots():
+    m = mapmod.empty_map(K, F, L)
+    pos = jnp.arange(F * 3, dtype=jnp.float32).reshape(F, 3)
+    create = jnp.zeros((F,), bool).at[:5].set(True)
+    m, slots = mapmod.add_landmarks(m, pos, create, jnp.asarray(0))
+    assert int(jnp.sum(slots >= 0)) == 5
+    assert int(jnp.sum(m.lm_valid)) == 5
+    assert int(m.next_lm_id) == 5
+    s = np.asarray(slots[:5])
+    np.testing.assert_allclose(np.asarray(m.lm_pos[s]), np.asarray(pos[:5]))
+
+
+def test_insert_keyframe_and_window_eviction():
+    m = mapmod.empty_map(K, F, L)
+    num_active = 4
+    poses = []
+    for i in range(6):
+        pose = se3.se3_exp(jnp.array([2.0 * i, 0, 0, 0, 0, 0.0]))
+        poses.append(pose)
+        uv, uv_r, lm, has_r, valid = make_kf_features(4, [])
+        m, ev = mapmod.insert_keyframe(
+            m, pose, jnp.asarray(i), jnp.asarray(i), uv, uv_r, lm, has_r,
+            valid, num_active=num_active)
+        if i < num_active:
+            assert not bool(ev.happened)
+        else:
+            assert bool(ev.happened)
+    assert int(jnp.sum(m.kf_valid)) == num_active
+    # poses are far apart (distance 2.0 > 0.2) -> farthest evicted each time:
+    # after inserting kf4, kf0 (farthest from kf4) leaves; then kf1
+    remaining = sorted(np.asarray(m.kf_id)[np.asarray(m.kf_valid)].tolist())
+    assert remaining == [2, 3, 4, 5]
+
+
+def test_eviction_nearest_when_close():
+    m = mapmod.empty_map(K, F, L)
+    num_active = 3
+    # kf0 far, kf1 and kf2 nearly identical, then insert kf3 near kf1/2
+    xs = [0.0, 5.0, 5.05, 5.1]
+    for i, x in enumerate(xs):
+        pose = se3.se3_exp(jnp.array([x, 0, 0, 0, 0, 0.0]))
+        uv, uv_r, lm, has_r, valid = make_kf_features(2, [])
+        m, ev = mapmod.insert_keyframe(
+            m, pose, jnp.asarray(i), jnp.asarray(i), uv, uv_r, lm, has_r,
+            valid, num_active=num_active)
+    # kf2 (x=5.05) is nearest to the new kf3 (x=5.1), distance 0.05 < 0.2 ->
+    # nearest is evicted, the far kf0 survives
+    remaining = sorted(np.asarray(m.kf_id)[np.asarray(m.kf_valid)].tolist())
+    assert remaining == [0, 1, 3]
+
+
+def test_landmark_obs_counting_and_archive():
+    m = mapmod.empty_map(K, F, L)
+    pos = jnp.zeros((F, 3))
+    create = jnp.zeros((F,), bool).at[:3].set(True)
+    m, slots = mapmod.add_landmarks(m, pos, create, jnp.asarray(0))
+    s0, s1, s2 = [int(v) for v in slots[:3]]
+
+    # kf0 observes lm0, lm1 (with right), kf1 observes lm1, lm2
+    uv = jnp.zeros((F, 2))
+    lm_a = jnp.full((F,), -1, jnp.int32).at[0].set(s0).at[1].set(s1)
+    valid_a = jnp.zeros((F,), bool).at[:2].set(True)
+    has_r_a = jnp.zeros((F,), bool).at[:2].set(True)
+    m, _ = mapmod.insert_keyframe(m, se3.se3_identity(), jnp.asarray(0),
+                                  jnp.asarray(0), uv, uv, lm_a, has_r_a,
+                                  valid_a, num_active=2)
+    lm_b = jnp.full((F,), -1, jnp.int32).at[0].set(s1).at[1].set(s2)
+    valid_b = jnp.zeros((F,), bool).at[:2].set(True)
+    has_r_b = jnp.zeros((F,), bool)
+    pose_b = se3.se3_exp(jnp.array([3.0, 0, 0, 0, 0, 0]))
+    m, _ = mapmod.insert_keyframe(m, pose_b, jnp.asarray(1), jnp.asarray(1),
+                                  uv, uv, lm_b, has_r_b, valid_b, num_active=2)
+    assert int(m.lm_obs_count[s0]) == 2   # left + right in kf0
+    assert int(m.lm_obs_count[s1]) == 3   # 2 in kf0, 1 in kf1
+    assert int(m.lm_obs_count[s2]) == 1
+
+    # inserting kf2 (far) evicts one; with both far apart, farthest goes (kf0)
+    pose_c = se3.se3_exp(jnp.array([6.0, 0, 0, 0, 0, 0]))
+    lm_c = jnp.full((F,), -1, jnp.int32).at[0].set(s2)
+    valid_c = jnp.zeros((F,), bool).at[:1].set(True)
+    m, ev = mapmod.insert_keyframe(m, pose_c, jnp.asarray(2), jnp.asarray(2),
+                                   uv, uv, lm_c, jnp.zeros((F,), bool),
+                                   valid_c, num_active=2)
+    assert bool(ev.happened) and int(ev.kf_id) == 0
+    # lm0 lost both its observations -> archived, removed from active table
+    archived = np.asarray(ev.lm_archived)
+    assert archived[s0] and not archived[s1] and not archived[s2]
+    assert not bool(m.lm_valid[s0])
+    assert int(m.lm_obs_count[s1]) == 1
+
+
+def test_landmark_table_full_graceful():
+    m = mapmod.empty_map(K, F, 4)
+    pos = jnp.zeros((F, 3))
+    create = jnp.zeros((F,), bool).at[:8].set(True)
+    m, slots = mapmod.add_landmarks(m, pos, create, jnp.asarray(0))
+    assert int(jnp.sum(slots >= 0)) == 4  # only 4 slots existed
+    assert int(jnp.sum(m.lm_valid)) == 4
