@@ -1,0 +1,303 @@
+"""Sliding-window bundle adjustment with a Schur-complement solver.
+
+TPU-native replacement for the reference's g2o backend
+(/root/reference/src/backend.cpp:9-248): VertexPose per active keyframe,
+marginalized VertexXYZ per landmark (backend.cpp:125 — the Schur trick),
+EdgeProjection per observation with per-camera intrinsics+extrinsics
+(left and right both contribute, backend.cpp:132-158), Huber delta = chi2_th
+(backend.cpp:150-152), LM x ba_lm_iters (backend.cpp:162-164), then the
+adaptive outlier loop doubling chi2_th until inlier ratio > 0.5
+(backend.cpp:166-193) and unlinking of outlier observations
+(backend.cpp:195-213).
+
+Redesign, not a port — there is no sparse graph: observations are already
+dense masked arrays in MapState, so the whole normal-equation assembly is a
+handful of scatter-adds and einsums that map directly onto the MXU:
+
+  H_pp (K,6,6)   per-keyframe pose blocks         scatter-add of J_p^T W J_p
+  H_ll (L,3,3)   per-landmark blocks              scatter-add of J_l^T W J_l
+  G    (L,K,6,3) cross blocks                     scatter-add of J_p^T W J_l
+  S    (6K,6K)   reduced camera system            S = H_pp - G H_ll^-1 G^T
+                                                  (one einsum), Cholesky-solved
+  dx_l           back-substitution                H_ll^-1 (-b_l - G^T dx_p)
+
+K is the padded window (16): the reduced system is at most 96x96 — the Schur
+complement turns the reference's sparse solve into a tiny dense one, which is
+exactly what TPUs want. The distributed variant (parallel/sharded_ba.py)
+shards the observation scatter phase over a mesh and psums the blocks.
+
+Gauge: the oldest active keyframe is held fixed. (The reference fixes no
+vertex and relies on LM damping; at this window size that lets the whole
+window drift rigidly ~1 m per BA pass — measured during verification — so the
+window is anchored here. Its observations still constrain landmarks.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from stereovision_slam_tpu.geometry import se3, jacobians
+from stereovision_slam_tpu.geometry.camera import Camera
+from stereovision_slam_tpu.slam import map_state as mapmod
+
+_PREC = jax.lax.Precision.HIGHEST
+
+
+class BAObservations(NamedTuple):
+    """Flattened observation arrays (static size M = K*F*2)."""
+    kf: jax.Array      # (M,) keyframe slot
+    lm: jax.Array      # (M,) landmark slot
+    uv: jax.Array      # (M, 2) measured pixels
+    is_right: jax.Array  # (M,) bool camera selector
+    valid: jax.Array   # (M,) bool
+
+
+def flatten_observations(m: mapmod.MapState) -> BAObservations:
+    """MapState's (K, F) observation block -> flat (M,) arrays, left camera
+    first then right (mirrors the reference adding one edge per camera per
+    feature, backend.cpp:132-158)."""
+    K, F = m.obs_lm.shape
+    kf_idx = jnp.broadcast_to(jnp.arange(K)[:, None], (K, F)).reshape(-1)
+    lm_idx = m.obs_lm.reshape(-1)
+    base_valid = (m.obs_valid & (m.obs_lm >= 0)
+                  & m.kf_valid[:, None]).reshape(-1)
+    uv_l = m.obs_uv_l.reshape(-1, 2)
+    uv_r = m.obs_uv_r.reshape(-1, 2)
+    has_r = (m.obs_has_r & m.obs_valid & (m.obs_lm >= 0)
+             & m.kf_valid[:, None]).reshape(-1)
+    return BAObservations(
+        kf=jnp.concatenate([kf_idx, kf_idx]),
+        lm=jnp.concatenate([lm_idx, lm_idx]),
+        uv=jnp.concatenate([uv_l, uv_r]),
+        is_right=jnp.concatenate([jnp.zeros_like(base_valid),
+                                  jnp.ones_like(has_r)]),
+        valid=jnp.concatenate([base_valid, has_r]),
+    )
+
+
+def _blend_cameras(cam_left: Camera, cam_right: Camera, is_right: jax.Array) -> Camera:
+    """Per-observation camera parameters selected by the left/right flag."""
+    s = is_right
+    sf = s.astype(cam_left.pose.dtype)
+    return Camera(
+        fx=jnp.where(s, cam_right.fx, cam_left.fx),
+        fy=jnp.where(s, cam_right.fy, cam_left.fy),
+        cx=jnp.where(s, cam_right.cx, cam_left.cx),
+        cy=jnp.where(s, cam_right.cy, cam_left.cy),
+        baseline=jnp.where(s, cam_right.baseline, cam_left.baseline),
+        pose=(1.0 - sf)[:, None, None] * cam_left.pose
+             + sf[:, None, None] * cam_right.pose,
+        pose_inv=(1.0 - sf)[:, None, None] * cam_left.pose_inv
+                 + sf[:, None, None] * cam_right.pose_inv,
+    )
+
+
+def _residuals(cam_obs: Camera, kf_pose: jax.Array, lm_pos: jax.Array,
+               obs: BAObservations):
+    """Residual + Jacobians for all observations at the current state."""
+    T = kf_pose[obs.kf]                       # (M, 3, 4)
+    P = lm_pos[jnp.clip(obs.lm, 0)]           # (M, 3)
+    r, J_pose, J_point, p_cam = jacobians.reprojection_residual_jac(
+        cam_obs, T, P, obs.uv)
+    in_front = p_cam[..., 2] > 1e-6
+    return r, J_pose, J_point, in_front
+
+
+def _assemble(r, J_pose, J_point, w, obs: BAObservations, K: int, L: int):
+    """Scatter-add the weighted normal-equation blocks."""
+    wJp = J_pose * w[:, None, None]
+    wJl = J_point * w[:, None, None]
+    Hpp_e = jnp.einsum("nab,nac->nbc", wJp, J_pose, precision=_PREC)
+    Hll_e = jnp.einsum("nab,nac->nbc", wJl, J_point, precision=_PREC)
+    G_e = jnp.einsum("nab,nac->nbc", wJp, J_point, precision=_PREC)  # (M,6,3)
+    bp_e = jnp.einsum("nab,na->nb", wJp, r, precision=_PREC)
+    bl_e = jnp.einsum("nab,na->nb", wJl, r, precision=_PREC)
+
+    kf_i = jnp.where(obs.valid, obs.kf, K)
+    lm_i = jnp.where(obs.valid, obs.lm, L)
+    H_pp = jnp.zeros((K, 6, 6), r.dtype).at[kf_i].add(Hpp_e, mode="drop")
+    b_p = jnp.zeros((K, 6), r.dtype).at[kf_i].add(bp_e, mode="drop")
+    H_ll = jnp.zeros((L, 3, 3), r.dtype).at[lm_i].add(Hll_e, mode="drop")
+    b_l = jnp.zeros((L, 3), r.dtype).at[lm_i].add(bl_e, mode="drop")
+    G = jnp.zeros((L, K, 6, 3), r.dtype).at[lm_i, kf_i].add(G_e, mode="drop")
+    return H_pp, b_p, H_ll, b_l, G
+
+
+def schur_solve(H_pp, b_p, H_ll, b_l, G, lam, kf_active, lm_active):
+    """Marginalize landmarks, solve the reduced camera system, back-substitute.
+
+    `kf_active` marks the poses that receive updates — pass the free (active
+    minus gauge-fixed) mask; fixed keyframes' observations still contribute
+    to the assembled blocks and therefore to landmark updates.
+
+    Returns (dx_pose (K, 6), dx_point (L, 3)).
+    """
+    K = H_pp.shape[0]
+    L = H_ll.shape[0]
+    dtype = H_pp.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+    eye6 = jnp.eye(6, dtype=dtype)
+
+    # damped landmark blocks; inactive landmarks get identity (dx = 0)
+    Hll_d = H_ll + lam * eye3 * jnp.maximum(
+        jnp.diagonal(H_ll, axis1=-2, axis2=-1), 1e-6)[..., None] * eye3
+    Hll_d = jnp.where(lm_active[:, None, None], Hll_d, eye3)
+    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = jnp.where(lm_active[:, None, None], Hll_inv, 0.0)
+
+    # reduced camera system S = H_pp - G Hll^-1 G^T  (K,K,6,6)
+    GH = jnp.einsum("lkac,lcd->lkad", G, Hll_inv, precision=_PREC)
+    S_off = jnp.einsum("lkad,ljbd->kjab", GH, G, precision=_PREC)
+    S = -S_off
+    diag_damp = H_pp + lam * eye6 * jnp.maximum(
+        jnp.diagonal(H_pp, axis1=-2, axis2=-1), 1e-6)[..., None] * eye6
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(diag_damp)
+    # inactive keyframes: identity row/col -> dx = 0
+    act2 = kf_active[:, None] & kf_active[None, :]
+    S = jnp.where(act2[:, :, None, None], S, 0.0)
+    S = S.at[jnp.arange(K), jnp.arange(K)].add(
+        jnp.where(kf_active, 0.0, 1.0)[:, None, None] * eye6)
+
+    b_s = b_p - jnp.einsum("lkad,ld->ka", GH, b_l, precision=_PREC)
+    b_s = jnp.where(kf_active[:, None], b_s, 0.0)
+
+    S_mat = S.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+    dx_p = jnp.linalg.solve(S_mat, -b_s.reshape(-1)).reshape(K, 6)
+
+    # back-substitute landmarks: dx_l = Hll^-1 (-b_l - G^T dx_p)
+    Gt_dx = jnp.einsum("lkab,ka->lb", G, dx_p, precision=_PREC)
+    dx_l = jnp.einsum("lab,lb->la", Hll_inv, -b_l - Gt_dx, precision=_PREC)
+    dx_p = jnp.where(kf_active[:, None], dx_p, 0.0)
+    dx_l = jnp.where(lm_active[:, None], dx_l, 0.0)
+    return dx_p, dx_l
+
+
+@partial(jax.jit, static_argnames=("iters", "outlier_rounds"),
+         donate_argnums=(0,))
+def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
+                    chi2_th: float = 5.991, iters: int = 10,
+                    outlier_rounds: int = 5):
+    """One BA pass over the active window; writes refined poses/landmarks back
+    into the map and unlinks outlier observations.
+
+    Returns (new_map, stats) with stats = (num_obs, num_outliers, final_chi2_th).
+    """
+    K, F = m.obs_lm.shape
+    L = m.lm_valid.shape[0]
+    dtype = m.kf_pose.dtype
+    obs = flatten_observations(m)
+    cam_obs = _blend_cameras(cam_left, cam_right, obs.is_right)
+    # g2o Huber delta = chi2_th (backend.cpp:150-152) acts on the error norm,
+    # i.e. robustification starts at squared error chi2_th^2
+    huber_d2 = jnp.asarray(chi2_th * chi2_th, dtype)
+
+    kf_active = m.kf_valid
+    # gauge anchor: hold the oldest active keyframe fixed
+    oldest_id = jnp.min(jnp.where(m.kf_valid, m.kf_id, jnp.iinfo(jnp.int32).max))
+    kf_free = kf_active & (m.kf_id != oldest_id)
+    lm_active = m.lm_valid & (m.lm_obs_count > 0)
+
+    def chi2_fn(kf_pose, lm_pos):
+        r, _, _, in_front = _residuals(cam_obs, kf_pose, lm_pos, obs)
+        c = jnp.sum(r * r, axis=-1)
+        return jnp.where(obs.valid & in_front, c, 0.0), in_front
+
+    def robust_total(kf_pose, lm_pos):
+        c, in_front = chi2_fn(kf_pose, lm_pos)
+        rho = jnp.where(c <= huber_d2, c, 2.0 * jnp.sqrt(huber_d2 * c) - huber_d2)
+        return jnp.sum(jnp.where(obs.valid & in_front, rho, 0.0))
+
+    def lm_step(_, carry):
+        kf_pose, lm_pos, lam = carry
+        r, J_pose, J_point, in_front = _residuals(cam_obs, kf_pose, lm_pos, obs)
+        c = jnp.sum(r * r, axis=-1)
+        w = jacobians.huber_weight(c, huber_d2)
+        w = jnp.where(obs.valid & in_front, w, 0.0)
+        H_pp, b_p, H_ll, b_l, G = _assemble(r, J_pose, J_point, w, obs, K, L)
+        dx_p, dx_l = schur_solve(H_pp, b_p, H_ll, b_l, G, lam,
+                                 kf_free, lm_active)
+        kf_new = se3.se3_compose(se3.se3_exp(dx_p), kf_pose)
+        lm_new = lm_pos + dx_l
+        better = robust_total(kf_new, lm_new) < robust_total(kf_pose, lm_pos)
+        kf_out = jnp.where(better, kf_new, kf_pose)
+        lm_out = jnp.where(better, lm_new, lm_pos)
+        lam_out = jnp.where(better, jnp.maximum(lam * 0.5, 1e-9),
+                            jnp.minimum(lam * 4.0, 1e4))
+        return kf_out, lm_out, lam_out
+
+    kf_pose, lm_pos, _ = lax.fori_loop(
+        0, iters, lm_step, (m.kf_pose, m.lm_pos, jnp.asarray(1e-4, dtype)))
+
+    # adaptive outlier threshold: double until inlier ratio > 0.5
+    # (backend.cpp:166-193)
+    c_final, in_front = chi2_fn(kf_pose, lm_pos)
+    total = jnp.maximum(jnp.sum(obs.valid), 1)
+
+    def th_body(carry):
+        th, _ = carry
+        inl = jnp.sum(obs.valid & (c_final <= th) & in_front)
+        ratio = inl / total
+        return th * 2.0, ratio
+
+    def th_cond(carry):
+        th, ratio = carry
+        return ratio <= 0.5
+
+    # run at most outlier_rounds doublings
+    th = jnp.asarray(chi2_th, dtype)
+    ratio = jnp.sum(obs.valid & (c_final <= th) & in_front) / total
+    for _ in range(outlier_rounds):
+        do = ratio <= 0.5
+        th = jnp.where(do, th * 2.0, th)
+        ratio = jnp.sum(obs.valid & (c_final <= th) & in_front) / total
+
+    outlier = obs.valid & ((c_final > th) | ~in_front)
+    num_outliers = jnp.sum(outlier)
+
+    # unlink outlier observations (left+right flattened halves -> (K, F));
+    # an outlier in either camera severs the feature->landmark link
+    # (backend.cpp:195-213)
+    out_l = outlier[: K * F].reshape(K, F)
+    out_r = outlier[K * F:].reshape(K, F)
+    sever = out_l | out_r
+    linked = m.obs_valid & (m.obs_lm >= 0)
+    dec = jnp.where(sever & linked, 1 + (m.obs_has_r & sever & linked), 0)
+    safe_lm = jnp.where(linked, m.obs_lm, L)
+    new_count = jnp.zeros((L,), jnp.int32).at[safe_lm.reshape(-1)].add(
+        -dec.reshape(-1).astype(jnp.int32), mode="drop") + m.lm_obs_count
+    new_count = jnp.maximum(new_count, 0)
+
+    m = m._replace(
+        kf_pose=kf_pose,
+        lm_pos=lm_pos,
+        obs_lm=jnp.where(sever, -1, m.obs_lm),
+        obs_has_r=m.obs_has_r & ~sever,
+        lm_obs_count=new_count,
+    )
+    return m, (jnp.sum(obs.valid), num_outliers, th)
+
+
+class Backend:
+    """Pipeline-facing wrapper (the reference's Backend thread object,
+    backend.cpp:250-345, minus the thread — the schedule is deterministic:
+    one BA pass per keyframe insertion, device-async)."""
+
+    def __init__(self, chi2_th: float = 5.991, iters: int = 10,
+                 outlier_rounds: int = 5):
+        self.chi2_th = chi2_th
+        self.iters = iters
+        self.outlier_rounds = outlier_rounds
+        self.last_stats = None
+
+    def optimize(self, m: mapmod.MapState, cam_left: Camera,
+                 cam_right: Camera) -> mapmod.MapState:
+        m, stats = optimize_window(
+            m, cam_left, cam_right, chi2_th=self.chi2_th, iters=self.iters,
+            outlier_rounds=self.outlier_rounds)
+        self.last_stats = stats
+        return m

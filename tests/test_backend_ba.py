@@ -1,0 +1,120 @@
+"""Bundle-adjustment tests on synthetic windows with exact ground truth."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereovision_slam_tpu.geometry import se3, jacobians
+from stereovision_slam_tpu.slam import map_state as mapmod
+from stereovision_slam_tpu.slam.backend import optimize_window, flatten_observations
+from tests import synthetic
+
+K, F, L = 8, 64, 256
+
+
+def build_window(seed=0, n_kf=5, n_lm=60, pose_noise=0.02, lm_noise=0.15,
+                 px_noise=0.0, n_bad_obs=0):
+    """A ground-truth window + a perturbed MapState observing it."""
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, 8)
+    left, right = synthetic.make_stereo_rig(fx=260.0, fy=260.0, cx=160.0, cy=60.0)
+    poses_gt = synthetic.forward_motion_poses(n_kf, step=0.6, yaw_rate=0.01)
+    lms_gt = synthetic.random_landmarks(keys[0], n_lm, x_range=(-10, 10),
+                                        y_range=(-4, 4), z_range=(5, 45))
+
+    m = mapmod.empty_map(K, F, L)
+    # create landmarks at perturbed positions
+    create = jnp.zeros((F,), bool).at[:n_lm].set(True)
+    lm_noisy = lms_gt + jax.random.normal(keys[1], lms_gt.shape) * lm_noise
+    pos_pad = jnp.zeros((F, 3)).at[:n_lm].set(lm_noisy)
+    m, slots = mapmod.add_landmarks(m, pos_pad, create, jnp.asarray(0))
+    lm_slots = slots[:n_lm]
+
+    obs_count = 0
+    for k in range(n_kf):
+        uv_l, _ = jacobians.project_points(left, poses_gt[k], lms_gt)
+        uv_r, _ = jacobians.project_points(right, poses_gt[k], lms_gt)
+        if px_noise > 0:
+            uv_l = uv_l + jax.random.normal(keys[2 + k % 4], uv_l.shape) * px_noise
+            uv_r = uv_r + jax.random.normal(keys[3 + k % 4], uv_r.shape) * px_noise
+        if n_bad_obs and k == 1:
+            uv_l = uv_l.at[:n_bad_obs].add(40.0)  # gross outliers in kf1
+        feat_uv = jnp.zeros((F, 2)).at[:n_lm].set(uv_l)
+        feat_uvr = jnp.zeros((F, 2)).at[:n_lm].set(uv_r)
+        feat_lm = jnp.full((F,), -1, jnp.int32).at[:n_lm].set(lm_slots)
+        feat_valid = jnp.zeros((F,), bool).at[:n_lm].set(True)
+        has_r = feat_valid
+        pose_k = poses_gt[k]
+        if k > 0:  # perturb all but the first pose
+            noise = jax.random.normal(keys[4 + k % 3], (6,)) * pose_noise
+            pose_k = se3.se3_compose(se3.se3_exp(noise), pose_k)
+        m, _ = mapmod.insert_keyframe(m, pose_k, jnp.asarray(k),
+                                     jnp.asarray(k), feat_uv, feat_uvr,
+                                     feat_lm, has_r, feat_valid, num_active=K)
+        obs_count += n_lm
+    return m, poses_gt, lms_gt, lm_slots, (left, right)
+
+
+def reproj_rmse(m, cams):
+    left, right = cams
+    obs = flatten_observations(m)
+    from stereovision_slam_tpu.slam.backend import _blend_cameras, _residuals
+    cam_obs = _blend_cameras(left, right, obs.is_right)
+    r, _, _, in_front = _residuals(cam_obs, m.kf_pose, m.lm_pos, obs)
+    c = jnp.sum(r * r, axis=-1)
+    mask = obs.valid & in_front
+    return float(jnp.sqrt(jnp.sum(jnp.where(mask, c, 0.0)) / jnp.sum(mask)))
+
+
+def test_ba_reduces_reprojection_error():
+    m, poses_gt, lms_gt, lm_slots, cams = build_window()
+    before = reproj_rmse(m, cams)
+    m2, (n_obs, n_out, th) = optimize_window(m, cams[0], cams[1])
+    after = reproj_rmse(m2, cams)
+    assert after < before * 0.05, f"before {before:.3f}, after {after:.3f}"
+    assert int(n_obs) == 5 * 60 * 2
+
+
+def test_ba_recovers_poses():
+    m, poses_gt, lms_gt, lm_slots, cams = build_window(seed=1)
+    m2, _ = optimize_window(m, cams[0], cams[1])
+    # BA has gauge freedom; compare relative pose kf0 -> kf_last
+    k_last = 4
+    def rel(poses_a, a, b):
+        return se3.se3_compose(poses_a[b], se3.se3_inverse(poses_a[a]))
+    rel_est = rel(m2.kf_pose, 0, k_last)
+    rel_gt = rel(poses_gt, 0, k_last)
+    err = float(se3.se3_distance(rel_est, rel_gt))
+    assert err < 5e-3, f"relative pose error {err}"
+
+
+def test_ba_with_noise_and_outliers():
+    m, poses_gt, lms_gt, lm_slots, cams = build_window(
+        seed=2, px_noise=0.4, n_bad_obs=10)
+    links_before = np.asarray(m.obs_lm[1][:10])  # copy before donation
+    m2, (n_obs, n_out, th) = optimize_window(m, cams[0], cams[1])
+    # the 10 gross outliers (40px off) must be flagged and unlinked
+    assert int(n_out) >= 10
+    # links severed in kf slot 1
+    sev = links_before != np.asarray(m2.obs_lm[1][:10])
+    assert sev.sum() >= 8
+    after = reproj_rmse(m2, cams)
+    assert after < 2.0, f"post-BA rmse {after}"
+
+
+def test_ba_empty_map_no_crash():
+    m = mapmod.empty_map(K, F, L)
+    m2, (n_obs, n_out, th) = optimize_window(m, *synthetic.make_stereo_rig())
+    assert int(n_obs) == 0
+    assert np.all(np.isfinite(np.asarray(m2.kf_pose)))
+
+
+def test_ba_landmark_positions_improve():
+    m, poses_gt, lms_gt, lm_slots, cams = build_window(seed=3, pose_noise=0.0,
+                                                       lm_noise=0.3)
+    before = float(jnp.mean(jnp.linalg.norm(
+        m.lm_pos[lm_slots] - lms_gt, axis=-1)))
+    m2, _ = optimize_window(m, cams[0], cams[1])
+    after = float(jnp.mean(jnp.linalg.norm(
+        m2.lm_pos[lm_slots] - lms_gt, axis=-1)))
+    assert after < before * 0.1, f"lm err before {before:.3f} after {after:.3f}"
