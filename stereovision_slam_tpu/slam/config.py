@@ -70,6 +70,7 @@ class SlamConfig:
     lk_max_iters: int = 30
     gftt_quality_level: float = 0.01
     gftt_min_distance: int = 20
+    keyframes_to_skip_in_candidate_search: int = 20  # loopclosure.cpp:243-247
     pose_rounds: int = 4             # frontend.cpp:481-524
     pose_iters_per_round: int = 10
     ba_lm_iters: int = 10            # backend.cpp:162-164

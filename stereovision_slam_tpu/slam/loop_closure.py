@@ -1,0 +1,270 @@
+"""Loop closure: deep place recognition + geometric verification + PGO.
+
+TPU-native redesign of the reference `LoopClosure`
+(/root/reference/src/loopclosure.cpp): MobileNet-V2 embeddings (jitted conv
+stack instead of cv::dnn), ORB-style descriptors + Hamming matching (batched
+kernels instead of cv::ORB/BFMatcher), batched PnP RANSAC (instead of
+cv::solvePnPRansac), rigid local fusion, and a matrix-free global pose-graph
+optimization at shutdown.
+
+Scheduling: the reference runs a worker thread polling a waitlist
+(loopclosure.cpp:801-879); here keyframes are processed synchronously at
+insertion (deterministic, SURVEY.md §7 hard part (d)) — the heavy stages are
+device programs that overlap with the frontend via XLA async dispatch.
+
+Semantics kept: candidate = argmax embedding similarity skipping the last 20
+keyframes, gated by strong threshold & weak-count (loopclosure.cpp:227-284);
+match gate d <= max(2 d_min, 30) and >= min_num matches (:286-326); PnP with
+reproj threshold 5.991 and the pose-difference gates (:328-437); rigid
+re-anchoring of the active window (:439-582 — the per-landmark anchor choice
+in the reference reduces to one rigid world transform because every active
+pose receives the same correction); cooldown of `keyframes_to_ignore_after_
+loop` (:182-198); shutdown PGO with consecutive + loop edges (:641-799).
+
+Deviation (documented): matched duplicate landmarks are NOT merged into the
+loop keyframe's landmarks (loopclosure.cpp:531-574) — the loop landmark is
+almost always archived (evicted >20 keyframes ago), and resurrecting archived
+slots buys little before PGO; the pose correction and the loop edge carry the
+information. Revisit if duplicate landmarks measurably hurt BA.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereovision_slam_tpu.geometry import se3
+from stereovision_slam_tpu.models import mobilenet_v2 as mnv2
+from stereovision_slam_tpu.ops import descriptors, matching
+from stereovision_slam_tpu.slam import map_state as mapmod
+from stereovision_slam_tpu.slam.pnp import pnp_ransac
+from stereovision_slam_tpu.slam.pose_graph import (
+    PoseGraph, optimize_pose_graph, reanchor_landmarks)
+
+
+@dataclass
+class ProcessedKeyframe:
+    kf_id: int
+    frame_id: int
+    embedding: np.ndarray        # (1280,)
+    desc: np.ndarray             # (F, W) uint32
+    desc_ok: np.ndarray          # (F,)
+    feat_uv: np.ndarray          # (F, 2)
+    lm_pos: np.ndarray           # (F, 3) landmark snapshot per feature
+    lm_has: np.ndarray           # (F,)
+    pose: np.ndarray             # (3, 4) pose at processing time
+
+
+@dataclass
+class LoopEdge:
+    kf_id: int
+    loop_kf_id: int
+    relative_pose: np.ndarray    # (3, 4) T_cur_corrected * T_loop^-1
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _apply_rigid_correction(ms: mapmod.MapState, T_cur_old: jax.Array,
+                            T_corr: jax.Array, fs_T_cur: jax.Array):
+    """LocalFusion as one rigid world transform D = T_old^-1 * T_corr:
+    T_i' = T_i * D for active keyframes, p' = D^-1 p for active landmarks,
+    and the frontend pose likewise (loopclosure.cpp:439-582)."""
+    D = se3.se3_compose(se3.se3_inverse(T_cur_old), T_corr)
+    Dinv = se3.se3_inverse(D)
+    kf_new = se3.se3_compose(ms.kf_pose, D[None])
+    lm_new = se3.se3_apply(Dinv[None], ms.lm_pos)
+    ms = ms._replace(
+        kf_pose=jnp.where(ms.kf_valid[:, None, None], kf_new, ms.kf_pose),
+        lm_pos=jnp.where(ms.lm_valid[:, None], lm_new, ms.lm_pos),
+    )
+    return ms, se3.se3_compose(fs_T_cur, D)
+
+
+@jax.jit
+def _match_and_count(cand_desc, cand_ok, cur_desc, cur_ok, cand_lm_has):
+    idx, dist, good = matching.match(cand_desc, cand_ok, cur_desc, cur_ok)
+    usable = good & cand_lm_has
+    return idx, usable, jnp.sum(usable)
+
+
+class LoopClosure:
+    """Host orchestrator for the loop-closure pipeline."""
+
+    def __init__(self, cfg, cam_left, mnv2_weights_path: str | None = None):
+        self.cfg = cfg
+        self.cam_left = cam_left
+        self.params = mnv2.get_params(mnv2_weights_path)
+        self.db: dict[int, ProcessedKeyframe] = {}
+        self.loop_edges: list[LoopEdge] = []
+        self.last_closed_kf_id: int | None = None
+        self.last_deep_score: float = 0.0
+        self.pgo_ran = False
+
+    # ------------------------------------------------------------------ #
+
+    def add_keyframe(self, vo, frame) -> None:
+        """Process a newly inserted keyframe (reference AddNewKeyFrame +
+        LoopClosurePipeline, loopclosure.cpp:182-198, 801-879)."""
+        cfg = self.cfg
+        kf_id = vo.kf_count
+        # cooldown after a closed loop (loopclosure.cpp:189-196)
+        if (self.last_closed_kf_id is not None and
+                kf_id - self.last_closed_kf_id <=
+                cfg.keyframes_to_ignore_after_loop):
+            return
+
+        entry = self._process(vo, frame, kf_id)
+        candidate = self._find_candidate(entry)
+        if candidate is not None:
+            self._attempt_closure(vo, entry, candidate)
+        self.db[kf_id] = entry
+
+    def _process(self, vo, frame, kf_id) -> ProcessedKeyframe:
+        left = jnp.asarray(frame.left, jnp.float32)
+        embedding = np.asarray(mnv2.embed_image(self.params, left))
+        fs, ms = vo.fs, vo.ms
+        desc, ok = descriptors.compute(left, fs.feat_uv, fs.feat_valid)
+        safe = jnp.clip(fs.feat_lm, 0, ms.lm_pos.shape[0] - 1)
+        lm_has = fs.feat_valid & (fs.feat_lm >= 0) & ms.lm_valid[safe]
+        lm_pos = ms.lm_pos[safe]
+        return ProcessedKeyframe(
+            kf_id=kf_id, frame_id=frame.frame_id,
+            embedding=embedding,
+            desc=np.asarray(desc), desc_ok=np.asarray(ok),
+            feat_uv=np.asarray(fs.feat_uv),
+            lm_pos=np.asarray(lm_pos), lm_has=np.asarray(lm_has),
+            pose=np.asarray(fs.T_cur),
+        )
+
+    def _find_candidate(self, entry) -> ProcessedKeyframe | None:
+        """Similarity scan with strong/weak gating (loopclosure.cpp:227-284)."""
+        cfg = self.cfg
+        best_id, best_sim, weak = None, 0.0, 0
+        skip = getattr(cfg, "keyframes_to_skip_in_candidate_search", 20)
+        for pid, p in self.db.items():
+            if entry.kf_id - pid < skip:  # skip recent (loopclosure.cpp:243-247)
+                continue
+            sim = float(np.dot(entry.embedding, p.embedding))
+            if sim > best_sim:
+                best_sim, best_id = sim, pid
+            if sim > cfg.potential_loop_weak_threshold:
+                weak += 1
+        self.last_deep_score = best_sim
+        if (best_sim < cfg.potential_loop_strong_threshold
+                or weak > cfg.max_num_weak_threshold):
+            return None
+        return self.db[best_id]
+
+    def _attempt_closure(self, vo, entry, cand) -> None:
+        cfg = self.cfg
+        idx, usable, n_match = _match_and_count(
+            jnp.asarray(cand.desc), jnp.asarray(cand.desc_ok),
+            jnp.asarray(entry.desc), jnp.asarray(entry.desc_ok),
+            jnp.asarray(cand.lm_has))
+        if int(n_match) < cfg.min_num_acceptable_keypoint_match:
+            return
+
+        # 2D-3D correspondences: candidate landmarks -> current pixels
+        pts3d = jnp.asarray(cand.lm_pos)
+        uv2d = jnp.asarray(entry.feat_uv)[idx]
+        T_corr, inliers, n_in = pnp_ransac(
+            self.cam_left, pts3d, uv2d, usable,
+            jax.random.PRNGKey(entry.kf_id),
+            reproj_threshold=5.991, num_hypotheses=256)
+        if int(n_in) < cfg.min_num_acceptable_keypoint_match:
+            return
+
+        # pose gates (loopclosure.cpp:394-437)
+        T_corr_np = np.asarray(T_corr)
+        loop_rel = np.asarray(se3.se3_compose(
+            T_corr, se3.se3_inverse(jnp.asarray(cand.pose))))
+        if float(np.linalg.norm(np.asarray(se3.se3_log(jnp.asarray(loop_rel))))) \
+                > cfg.max_pose_distance_between_loop_keyframes:
+            return
+        T_old = jnp.asarray(entry.pose)
+        pose_diff = float(se3.se3_distance(T_old, T_corr))
+        if pose_diff > cfg.max_pose_differnece_between_old_new:
+            return
+        need_correction = pose_diff > cfg.min_pose_differnece_between_old_new
+
+        # record the loop edge for PGO (measurement uses the corrected pose)
+        self.loop_edges.append(LoopEdge(
+            kf_id=entry.kf_id, loop_kf_id=cand.kf_id,
+            relative_pose=loop_rel))
+        self.last_closed_kf_id = entry.kf_id
+
+        if need_correction:
+            vo.ms, new_T_cur = _apply_rigid_correction(
+                vo.ms, T_old, T_corr, vo.fs.T_cur)
+            vo.fs = vo.fs._replace(T_cur=new_T_cur)
+            # refresh the archive pose of the current keyframe
+            if entry.kf_id in vo.archived_keyframes:
+                vo.archived_keyframes[entry.kf_id].pose = np.asarray(new_T_cur)
+            entry.pose = np.asarray(new_T_cur)
+
+    # ------------------------------------------------------------------ #
+
+    def stop(self, vo) -> None:
+        """Shutdown: global pose-graph optimization over every keyframe
+        (loopclosure.cpp:874-900, 641-799)."""
+        if not self.loop_edges:
+            return
+        if int(self.cfg.global_pose_graph_optimization) == 0:
+            return
+        vo._sync_active_to_archive()
+        recs = sorted(vo.archived_keyframes.values(), key=lambda r: r.kf_id)
+        T = len(recs)
+        if T < 3:
+            return
+        slot_of = {r.kf_id: i for i, r in enumerate(recs)}
+
+        poses = np.stack([r.pose for r in recs]).astype(np.float32)
+        edge_i, edge_j, meas = [], [], []
+        # consecutive edges from relative_pose_pkf_ (refreshed after BA)
+        for a, b in zip(recs[:-1], recs[1:]):
+            if b.rel_to_prev is None:
+                rel = np.asarray(se3.se3_compose(
+                    jnp.asarray(b.pose), se3.se3_inverse(jnp.asarray(a.pose))))
+            else:
+                rel = b.rel_to_prev
+            edge_i.append(slot_of[b.kf_id])
+            edge_j.append(slot_of[a.kf_id])
+            meas.append(rel)
+        for e in self.loop_edges:
+            if e.kf_id in slot_of and e.loop_kf_id in slot_of:
+                edge_i.append(slot_of[e.kf_id])
+                edge_j.append(slot_of[e.loop_kf_id])
+                meas.append(e.relative_pose)
+
+        g = PoseGraph(
+            poses=jnp.asarray(poses),
+            pose_valid=jnp.ones((T,), bool),
+            edge_i=jnp.asarray(edge_i, jnp.int32),
+            edge_j=jnp.asarray(edge_j, jnp.int32),
+            edge_meas=jnp.asarray(np.stack(meas), jnp.float32),
+            edge_valid=jnp.ones((len(edge_i),), bool),
+        )
+        new_poses = np.asarray(optimize_pose_graph(g, iters=22))
+
+        # write back keyframe poses (loopclosure.cpp:787-791)
+        for rec, pose in zip(recs, new_poses):
+            rec.pose = pose
+
+        # re-anchor all landmarks via their first observing keyframe
+        # (loopclosure.cpp:762-785)
+        if vo.archived_landmarks:
+            lm_ids = list(vo.archived_landmarks.keys())
+            lm_pos = np.stack([vo.archived_landmarks[i] for i in lm_ids])
+            first = np.array([slot_of.get(
+                vo.archived_landmark_first_kf.get(i, -1), -1)
+                for i in lm_ids], np.int32)
+            new_lm = np.asarray(reanchor_landmarks(
+                jnp.asarray(lm_pos), jnp.asarray(first),
+                jnp.asarray(poses), jnp.asarray(new_poses),
+                jnp.ones((T,), bool)))
+            for i, p in zip(lm_ids, new_lm):
+                vo.archived_landmarks[i] = p
+        self.pgo_ran = True

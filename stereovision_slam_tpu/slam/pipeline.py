@@ -169,9 +169,15 @@ class VisualOdometry:
     # ------------------------------------------------------------------ #
 
     def _register_keyframe(self, frame_id: int) -> None:
+        pose = np.asarray(self.fs.T_cur)
+        rel = None
+        prev = self.archived_keyframes.get(self.kf_count - 1)
+        if prev is not None:
+            rel = np.asarray(se3.se3_compose(
+                jnp.asarray(pose), se3.se3_inverse(jnp.asarray(prev.pose))))
         self.archived_keyframes[self.kf_count] = KeyframeRecord(
-            frame_id=frame_id, kf_id=self.kf_count,
-            pose=np.asarray(self.fs.T_cur))
+            frame_id=frame_id, kf_id=self.kf_count, pose=pose,
+            rel_to_prev=rel)
 
     def _archive_eviction(self, ev: mapmod.EvictedKeyframe) -> None:
         if not bool(ev.happened):
@@ -195,6 +201,27 @@ class VisualOdometry:
             # refresh frontend pose from the newest (BA-refined) keyframe
             newest = int(jnp.argmax(jnp.where(self.ms.kf_valid, self.ms.kf_id, -1)))
             self.fs = self.fs._replace(T_cur=self.ms.kf_pose[newest])
+            self._refresh_relative_poses()
+
+    def _refresh_relative_poses(self) -> None:
+        """Refresh archive poses + consecutive relative poses of the active
+        window after BA (the reference's relative_pose_pkf_ refresh,
+        backend.cpp:223-247)."""
+        ms = self.ms
+        kf_valid = np.asarray(ms.kf_valid)
+        ids = np.asarray(ms.kf_id)
+        poses = np.asarray(ms.kf_pose)
+        active = {int(ids[s]): poses[s] for s in np.nonzero(kf_valid)[0]}
+        for kf_id, pose in active.items():
+            rec = self.archived_keyframes.get(kf_id)
+            if rec is None:
+                continue
+            rec.pose = pose
+            prev = self.archived_keyframes.get(kf_id - 1)
+            if prev is not None:
+                rec.rel_to_prev = np.asarray(se3.se3_compose(
+                    jnp.asarray(pose),
+                    se3.se3_inverse(jnp.asarray(prev.pose))))
 
     # ------------------------------------------------------------------ #
 

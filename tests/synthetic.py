@@ -56,19 +56,34 @@ def random_landmarks(key, n, x_range=(-15.0, 15.0), y_range=(-3.0, 6.0),
     return jnp.stack([x, y, z], axis=-1)
 
 
-def render_blobs(pts_uv, H, W, sigma=1.5, amplitudes=None):
+def render_blobs(pts_uv, H, W, sigma=1.5, amplitudes=None, distinct=False):
     """Render gaussian blobs at (N, 2) pixel positions onto an (H, W) image.
 
     Dense evaluation (fine for test-sized images) so blobs are differentiable
-    landmarks trackable by LK.
+    landmarks trackable by LK. With ``distinct=True`` each landmark gets a
+    deterministic anisotropic shape (per-axis sigma + orientation), making
+    local appearance discriminative for descriptor matching.
     """
+    n = pts_uv.shape[0]
     if amplitudes is None:
-        amplitudes = jnp.full(pts_uv.shape[0], 200.0)
+        amplitudes = jnp.full(n, 200.0)
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
-    d2 = ((xx[None] - pts_uv[:, 0, None, None]) ** 2
-          + (yy[None] - pts_uv[:, 1, None, None]) ** 2)
-    blobs = amplitudes[:, None, None] * jnp.exp(-d2 / (2 * sigma * sigma))
+    dx = xx[None] - pts_uv[:, 0, None, None]
+    dy = yy[None] - pts_uv[:, 1, None, None]
+    if distinct:
+        idx = jnp.arange(n, dtype=jnp.float32)
+        sx = sigma * (0.8 + 0.9 * ((idx * 0.37) % 1.0))[:, None, None]
+        sy = sigma * (0.8 + 0.9 * ((idx * 0.61) % 1.0))[:, None, None]
+        ang = (idx * 2.39996)[:, None, None]  # golden-angle spread
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        u = ca * dx + sa * dy
+        v = -sa * dx + ca * dy
+        d2 = (u / sx) ** 2 + (v / sy) ** 2
+        blobs = amplitudes[:, None, None] * jnp.exp(-d2 / 2.0)
+    else:
+        d2 = dx ** 2 + dy ** 2
+        blobs = amplitudes[:, None, None] * jnp.exp(-d2 / (2 * sigma * sigma))
     return jnp.clip(jnp.sum(blobs, axis=0) + 30.0, 0.0, 255.0)
 
 

@@ -1,0 +1,132 @@
+"""Pose-graph optimization tests: loop correction on drifted trajectories."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereovision_slam_tpu.geometry import se3
+from stereovision_slam_tpu.slam.pose_graph import (
+    PoseGraph, optimize_pose_graph, reanchor_landmarks)
+
+
+def circle_trajectory(n, radius=20.0):
+    """Ground-truth poses around a circle (ends where it starts)."""
+    poses = []
+    for k in range(n):
+        ang = 2 * np.pi * k / n
+        # rig at angle ang on the circle, heading tangentially
+        Rwc = np.array([
+            [np.cos(ang), 0, -np.sin(ang)],
+            [0, 1, 0],
+            [np.sin(ang), 0, np.cos(ang)],
+        ])
+        c = np.array([radius * np.sin(ang), 0.0, radius * (1 - np.cos(ang))])
+        R = Rwc.T
+        t = -R @ c
+        poses.append(np.concatenate([R, t[:, None]], axis=1))
+    return jnp.asarray(np.stack(poses), jnp.float32)
+
+
+def build_graph(n=40, drift=0.004, loop=True, seed=0):
+    gt = circle_trajectory(n)
+    rel_gt = jax.vmap(lambda a, b: se3.se3_compose(b, se3.se3_inverse(a)))(
+        gt[:-1], gt[1:])
+    # integrate drifted odometry: each relative measurement slightly wrong
+    rng = np.random.default_rng(seed)
+    noise = jnp.asarray(rng.normal(0, drift, (n - 1, 6)), jnp.float32)
+    poses = [gt[0]]
+    for k in range(n - 1):
+        rel_noisy = se3.se3_compose(se3.se3_exp(noise[k]), rel_gt[k])
+        poses.append(se3.se3_compose(rel_noisy, poses[-1]))
+    poses = jnp.stack(poses)
+
+    edge_i = list(range(1, n))
+    edge_j = list(range(0, n - 1))
+    # consecutive measurements = the drifted odometry (consistent with init)
+    meas = [se3.se3_compose(poses[i], se3.se3_inverse(poses[j]))
+            for i, j in zip(edge_i, edge_j)]
+    if loop:
+        # loop edge: last frame sees the first with the TRUE relative pose
+        edge_i.append(n - 1)
+        edge_j.append(0)
+        meas.append(se3.se3_compose(gt[n - 1], se3.se3_inverse(gt[0])))
+    E = len(edge_i)
+    g = PoseGraph(
+        poses=poses,
+        pose_valid=jnp.ones((n,), bool),
+        edge_i=jnp.asarray(edge_i, jnp.int32),
+        edge_j=jnp.asarray(edge_j, jnp.int32),
+        edge_meas=jnp.stack(meas),
+        edge_valid=jnp.ones((E,), bool),
+    )
+    return g, gt, poses
+
+
+def centers(poses):
+    R = np.asarray(poses)[:, :3, :3]
+    t = np.asarray(poses)[:, :3, 3]
+    return -np.einsum("nij,ni->nj", R, t)
+
+
+def test_pgo_closes_the_loop():
+    g, gt, drifted = build_graph()
+    out = optimize_pose_graph(g, iters=22)
+    err_before = np.linalg.norm(centers(drifted) - centers(gt), axis=1)
+    err_after = np.linalg.norm(centers(out) - centers(gt), axis=1)
+    # mid-loop residual is the MAP optimum under noisy odometry; the hard
+    # guarantee is that the loop-end drift collapses and the overall error
+    # shrinks substantially
+    assert err_after.max() < err_before.max() * 0.7
+    # end-of-loop error (the drift accumulation point) collapses
+    assert err_after[-1] < 0.05
+
+
+def test_pgo_first_pose_fixed():
+    g, gt, drifted = build_graph()
+    out = optimize_pose_graph(g, iters=10)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(g.poses[0]),
+                               atol=1e-6)
+
+
+def test_pgo_no_loop_stays_consistent():
+    # without a loop edge the drifted trajectory is already consistent with
+    # the measurements -> PGO must not change it (chi2 is already ~0)
+    g, gt, drifted = build_graph(loop=False)
+    out = optimize_pose_graph(g, iters=5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(drifted), atol=1e-3)
+
+
+def test_pgo_respects_validity_padding():
+    g, gt, drifted = build_graph(n=20)
+    T = 32  # pad to 32 slots
+    pad = T - 20
+    g2 = PoseGraph(
+        poses=jnp.concatenate([g.poses, jnp.tile(se3.se3_identity()[None], (pad, 1, 1))]),
+        pose_valid=jnp.concatenate([g.pose_valid, jnp.zeros((pad,), bool)]),
+        edge_i=jnp.concatenate([g.edge_i, jnp.zeros((4,), jnp.int32)]),
+        edge_j=jnp.concatenate([g.edge_j, jnp.zeros((4,), jnp.int32)]),
+        edge_meas=jnp.concatenate([g.edge_meas,
+                                   jnp.tile(se3.se3_identity()[None], (4, 1, 1))]),
+        edge_valid=jnp.concatenate([g.edge_valid, jnp.zeros((4,), bool)]),
+    )
+    out = optimize_pose_graph(g2, iters=10)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # padded slots untouched
+    np.testing.assert_allclose(np.asarray(out[20:]),
+                               np.asarray(g2.poses[20:]), atol=1e-6)
+
+
+def test_reanchor_landmarks():
+    old = jnp.stack([se3.se3_identity(),
+                     se3.se3_exp(jnp.array([1.0, 0, 0, 0, 0, 0]))])
+    # new poses: kf1 shifted by additional +1 x
+    new = jnp.stack([se3.se3_identity(),
+                     se3.se3_exp(jnp.array([2.0, 0, 0, 0, 0, 0]))])
+    lm = jnp.array([[5.0, 0.0, 10.0], [1.0, 1.0, 4.0]])
+    first = jnp.array([1, -1], jnp.int32)
+    out = reanchor_landmarks(lm, first, old, new, jnp.ones(2, bool))
+    # landmark 0 anchored to kf1: rig-frame point preserved =>
+    # world pos shifts by the pose delta (T_new^-1 T_old) = -1 in x
+    np.testing.assert_allclose(np.asarray(out[0]), [4.0, 0.0, 10.0], atol=1e-5)
+    # landmark 1 has no anchor -> unchanged
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(lm[1]), atol=1e-6)
