@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Stereo visual SLAM CLI.
+
+Equivalent of the reference app
+(/root/reference/app/run_stereo_vision_SLAM.cpp): argv[1] is a YAML config
+path (reference-format keys), defaulting to configs/default.yaml.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    args = list(sys.argv[1:])
+    # --platform cpu|tpu: the axon TPU plugin ignores the JAX_PLATFORMS env
+    # var, so an explicit jax.config.update is the only reliable override
+    if "--platform" in args:
+        i = args.index("--platform")
+        platform = args[i + 1]
+        del args[i:i + 2]
+        import jax
+        jax.config.update("jax_platforms", platform)
+    config_path = (args[0] if args else
+                   os.path.join(os.path.dirname(__file__), "..", "configs",
+                                "default.yaml"))
+    sys.argv = [sys.argv[0]] + args
+    if len(sys.argv) <= 1:
+        print("No config file specified; using default config "
+              f"{config_path}")
+    if not os.path.exists(config_path):
+        print(f"Config file not found: {config_path}")
+        return 1
+
+    from stereovision_slam_tpu.io.kitti import KittiDataset
+    from stereovision_slam_tpu.slam.backend import Backend
+    from stereovision_slam_tpu.slam.config import SlamConfig
+    from stereovision_slam_tpu.slam.loop_closure import LoopClosure
+    from stereovision_slam_tpu.slam.pipeline import VisualOdometry
+    from stereovision_slam_tpu.viz.viewer import Viewer
+
+    cfg = SlamConfig.from_yaml(config_path)
+    dataset = KittiDataset(cfg.dataset_dir, cfg.left_cam_index,
+                           cfg.right_cam_index, bool(cfg.is_color_input))
+    dataset.initialize()
+
+    backend = Backend(chi2_th=cfg.chi2_th, iters=cfg.ba_lm_iters,
+                      outlier_rounds=cfg.ba_outlier_rounds) \
+        if cfg.backend_on else None
+    viewer = Viewer() if cfg.visualizer_on else None
+    vo = VisualOdometry(cfg, dataset, viewer=viewer, backend=backend)
+    vo.initialize()
+    if cfg.loopclosure_on:
+        vo.loop_closure = LoopClosure(cfg, vo.cam_left)
+
+    vo.run()
+    out = vo.save_output()
+    print(f"SLAM finished: {len(vo.archived_keyframes)} keyframes, "
+          f"{len(vo.archived_landmarks)} landmarks, {vo.fps():.2f} frames/s")
+    print(f"Output saved to {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,103 @@
+"""Mid-run checkpoint / resume of the full SLAM state.
+
+New capability relative to the reference, which can only write terminal
+outputs (SURVEY.md §5: keyframes.txt + landmarks.pcd at shutdown,
+visual_odometry.cpp:198-310). The whole pipeline state — map arrays,
+frontend state (including the last-frame pyramid), host archives, counters —
+round-trips through one compressed .npz, so a crashed or preempted run
+resumes exactly where it stopped.
+"""
+
+from __future__ import annotations
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from stereovision_slam_tpu.slam import frontend as fe
+from stereovision_slam_tpu.slam import map_state as mapmod
+from stereovision_slam_tpu.slam.pipeline import KeyframeRecord
+
+FORMAT_VERSION = 1
+
+
+def save_checkpoint(vo, path: str) -> None:
+    """Serialize a VisualOdometry's complete state."""
+    arrays = {}
+    for name, val in vo.ms._asdict().items():
+        arrays[f"ms.{name}"] = np.asarray(val)
+    fs = vo.fs
+    arrays["fs.T_cur"] = np.asarray(fs.T_cur)
+    arrays["fs.T_rel"] = np.asarray(fs.T_rel)
+    arrays["fs.feat_uv"] = np.asarray(fs.feat_uv)
+    arrays["fs.feat_lm"] = np.asarray(fs.feat_lm)
+    arrays["fs.feat_valid"] = np.asarray(fs.feat_valid)
+    for i, level in enumerate(fs.pyr):
+        arrays[f"fs.pyr.{i}"] = np.asarray(level)
+
+    meta = {
+        "version": FORMAT_VERSION,
+        "status": vo.status.name,
+        "kf_count": vo.kf_count,
+        "frame_count": vo.frame_count,
+        "dataset_index": getattr(vo.dataset, "current_index", 0),
+        "num_pyr_levels": len(fs.pyr),
+        "keyframes": [
+            {"kf_id": r.kf_id, "frame_id": r.frame_id,
+             "pose": r.pose.tolist(),
+             "rel_to_prev": (r.rel_to_prev.tolist()
+                             if r.rel_to_prev is not None else None)}
+            for r in vo.archived_keyframes.values()
+        ],
+        "landmarks": {str(k): v.tolist()
+                      for k, v in vo.archived_landmarks.items()},
+        "landmark_first_kf": {str(k): v for k, v in
+                              vo.archived_landmark_first_kf.items()},
+        "inlier_history": vo.inlier_history,
+    }
+    arrays["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(vo, path: str) -> None:
+    """Restore state saved by :func:`save_checkpoint` into an initialized
+    VisualOdometry (dataset/config must match)."""
+    data = np.load(path)
+    meta = json.loads(bytes(data["meta_json"]).decode())
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(f"checkpoint version {meta['version']} unsupported")
+
+    ms_kwargs = {name.split(".", 1)[1]: jnp.asarray(data[name])
+                 for name in data.files if name.startswith("ms.")}
+    vo.ms = mapmod.MapState(**ms_kwargs)
+
+    pyr = tuple(jnp.asarray(data[f"fs.pyr.{i}"])
+                for i in range(meta["num_pyr_levels"]))
+    vo.fs = fe.FrontendState(
+        T_cur=jnp.asarray(data["fs.T_cur"]),
+        T_rel=jnp.asarray(data["fs.T_rel"]),
+        feat_uv=jnp.asarray(data["fs.feat_uv"]),
+        feat_lm=jnp.asarray(data["fs.feat_lm"]),
+        feat_valid=jnp.asarray(data["fs.feat_valid"]),
+        pyr=pyr,
+    )
+    vo.status = fe.FrontendStatus[meta["status"]]
+    vo.kf_count = meta["kf_count"]
+    vo.frame_count = meta["frame_count"]
+    if hasattr(vo.dataset, "current_index"):
+        vo.dataset.current_index = meta["dataset_index"]
+    vo.archived_keyframes = {
+        kf["kf_id"]: KeyframeRecord(
+            frame_id=kf["frame_id"], kf_id=kf["kf_id"],
+            pose=np.asarray(kf["pose"], np.float32),
+            rel_to_prev=(np.asarray(kf["rel_to_prev"], np.float32)
+                         if kf["rel_to_prev"] is not None else None))
+        for kf in meta["keyframes"]
+    }
+    vo.archived_landmarks = {int(k): np.asarray(v, np.float32)
+                             for k, v in meta["landmarks"].items()}
+    vo.archived_landmark_first_kf = {
+        int(k): int(v) for k, v in meta["landmark_first_kf"].items()}
+    vo.inlier_history = list(meta["inlier_history"])

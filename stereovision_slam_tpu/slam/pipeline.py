@@ -165,6 +165,8 @@ class VisualOdometry:
         self._notify_backend()
         if self.loop_closure is not None:
             self.loop_closure.add_keyframe(self, frame)
+        if self.viewer is not None:
+            self.viewer.update_map(self)
 
     # ------------------------------------------------------------------ #
 

@@ -1,0 +1,85 @@
+"""Checkpoint/resume: a split run must match an uninterrupted run exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
+from stereovision_slam_tpu.slam.backend import Backend
+from stereovision_slam_tpu.slam.checkpoint import save_checkpoint, load_checkpoint
+from stereovision_slam_tpu.slam.pipeline import VisualOdometry
+from tests import synthetic
+from tests.test_pipeline_frontend import small_config
+
+
+def make_dataset(seed=21, T=14):
+    key = jax.random.PRNGKey(seed)
+    H, W = 120, 320
+    rig = synthetic.make_stereo_rig(fx=260.0, fy=260.0, cx=160.0, cy=60.0)
+    poses = synthetic.forward_motion_poses(T, step=0.5, yaw_rate=0.01)
+    lms = jnp.concatenate([
+        synthetic.random_landmarks(jax.random.PRNGKey(30), 80, z_range=(4, 40)),
+        synthetic.random_landmarks(jax.random.PRNGKey(31), 60,
+                                   z_range=(10, 50)) + jnp.array([0., 0., 6.]),
+    ])
+    lefts, rights = synthetic.render_stereo_sequence(key, poses, lms, H=H,
+                                                     W=W, rig=rig)
+    return (np.asarray(lefts), np.asarray(rights), list(rig))
+
+
+def run_full(data, steps=None):
+    vo = VisualOdometry(small_config(),
+                        ArraySequenceDataset(*data), backend=Backend())
+    vo.initialize()
+    n = 0
+    while vo.step():
+        n += 1
+        if steps is not None and n >= steps:
+            break
+    return vo
+
+
+def test_checkpoint_roundtrip_exact(tmp_path):
+    data = make_dataset()
+
+    # uninterrupted run
+    vo_full = run_full(data)
+
+    # split run: 7 frames, checkpoint, new process-equivalent resume
+    vo_a = run_full(data, steps=7)
+    ckpt = str(tmp_path / "state.npz")
+    save_checkpoint(vo_a, ckpt)
+
+    vo_b = VisualOdometry(small_config(),
+                          ArraySequenceDataset(*data), backend=Backend())
+    vo_b.initialize()
+    load_checkpoint(vo_b, ckpt)
+    assert vo_b.dataset.current_index == 7
+    while vo_b.step():
+        pass
+
+    # identical trajectories (deterministic pipeline => bitwise-comparable)
+    ta = vo_full.trajectory()
+    tb = vo_b.trajectory()
+    assert set(ta.keys()) == set(tb.keys())
+    for fid in ta:
+        np.testing.assert_allclose(ta[fid], tb[fid], atol=1e-5)
+    assert len(vo_full.archived_landmarks) == len(vo_b.archived_landmarks)
+
+
+def test_checkpoint_preserves_scalars(tmp_path):
+    data = make_dataset()
+    vo = run_full(data, steps=6)
+    ckpt = str(tmp_path / "s.npz")
+    save_checkpoint(vo, ckpt)
+    vo2 = VisualOdometry(small_config(),
+                         ArraySequenceDataset(*data), backend=Backend())
+    vo2.initialize()
+    load_checkpoint(vo2, ckpt)
+    assert vo2.status == vo.status
+    assert vo2.kf_count == vo.kf_count
+    assert vo2.inlier_history == vo.inlier_history
+    np.testing.assert_allclose(np.asarray(vo2.fs.T_cur),
+                               np.asarray(vo.fs.T_cur), atol=0)
+    np.testing.assert_allclose(np.asarray(vo2.ms.lm_pos),
+                               np.asarray(vo.ms.lm_pos), atol=0)
