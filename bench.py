@@ -24,6 +24,10 @@ sys.path.insert(0, "/root/repo")
 
 def main():
     import jax
+    # persistent compilation cache: axon remote compiles take minutes for the
+    # big SLAM programs; cache them across processes/rounds
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -37,30 +41,41 @@ def main():
 
     H, W = 188, 620
     T = 40
-    key = jax.random.PRNGKey(0)
-    rig = synthetic.make_stereo_rig()
-    poses = synthetic.forward_motion_poses(T, step=0.6, yaw_rate=0.008)
-    k1, k2, k3 = jax.random.split(key, 3)
-    lms = jnp.concatenate([
-        synthetic.random_landmarks(k1, 120, z_range=(5, 50)),
-        synthetic.random_landmarks(k2, 100, z_range=(15, 60)) + jnp.array([0., 0., 10.]),
-        synthetic.random_landmarks(k3, 100, z_range=(25, 70)) + jnp.array([0., 0., 20.]),
-    ])
-    lefts, rights = synthetic.render_stereo_sequence(key, poses, lms, H=H, W=W,
-                                                     rig=rig)
+    # Build + render the synthetic scene entirely on the CPU backend: a
+    # large-working-set program on the TPU leaves the runtime in a degraded
+    # ~55ms-per-dispatch state afterwards (axon quirk, measured), and the
+    # dataset is host-side input anyway.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        key = jax.random.PRNGKey(0)
+        rig = synthetic.make_stereo_rig()
+        poses = synthetic.forward_motion_poses(T, step=0.6, yaw_rate=0.008)
+        k1, k2, k3 = jax.random.split(key, 3)
+        lms = jnp.concatenate([
+            synthetic.random_landmarks(k1, 120, z_range=(5, 50)),
+            synthetic.random_landmarks(k2, 100, z_range=(15, 60)) + jnp.array([0., 0., 10.]),
+            synthetic.random_landmarks(k3, 100, z_range=(25, 70)) + jnp.array([0., 0., 20.]),
+        ])
+        lefts, rights = synthetic.render_stereo_sequence(key, poses, lms, H=H,
+                                                         W=W, rig=rig)
     lefts = np.asarray(lefts)
     rights = np.asarray(rights)
+    # the rig cameras feed the TPU pipeline: rebuild them on the default device
+    rig = synthetic.make_stereo_rig()
 
     cfg = SlamConfig()  # reference defaults: 150 features, window 10
     ds = ArraySequenceDataset(lefts, rights, list(rig))
     vo = VisualOdometry(cfg, ds, backend=Backend(chi2_th=cfg.chi2_th))
     vo.initialize()
 
-    # warmup: first frames trigger compilation of all three programs
-    warmup = 6
-    for _ in range(warmup):
+    # warmup must cover ALL program types (pyramid, track, keyframe+BA):
+    # run until at least two keyframes have been inserted so keyframe_step
+    # and the BA program are compiled before timing starts
+    warmup = 0
+    while vo.kf_count < 2 and warmup < T - 10:
         if not vo.step():
             break
+        warmup += 1
 
     t0 = time.perf_counter()
     n = 0

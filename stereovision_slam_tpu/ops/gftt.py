@@ -31,12 +31,14 @@ from stereovision_slam_tpu.ops import image as imops
 def min_eig_response(img: jax.Array, block_size: int = 3) -> jax.Array:
     """Shi-Tomasi min-eigenvalue corner response (cv::cornerMinEigenVal)."""
     ix, iy = imops.sobel_gradients(img)
-    box = jnp.ones(block_size, dtype=img.dtype) / float(block_size * block_size)
+    import numpy as np
+    box = np.ones(block_size, np.float32) / float(block_size * block_size)
+    ones = np.ones(block_size, np.float32)
     # structure tensor entries, box-filtered (normalization is irrelevant for
     # the relative qualityLevel threshold but keeps magnitudes sane)
-    sxx = imops._sep_filter(ix * ix, box, jnp.ones(block_size, img.dtype))
-    syy = imops._sep_filter(iy * iy, box, jnp.ones(block_size, img.dtype))
-    sxy = imops._sep_filter(ix * iy, box, jnp.ones(block_size, img.dtype))
+    sxx = imops._sep_filter(ix * ix, box, ones)
+    syy = imops._sep_filter(iy * iy, box, ones)
+    sxy = imops._sep_filter(ix * iy, box, ones)
     # min eigenvalue of [[sxx, sxy], [sxy, syy]]
     tr_half = 0.5 * (sxx + syy)
     det_part = jnp.sqrt(jnp.maximum(0.25 * (sxx - syy) ** 2 + sxy * sxy, 0.0))

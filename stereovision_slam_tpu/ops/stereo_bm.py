@@ -22,7 +22,8 @@ from stereovision_slam_tpu.ops import image as imops
 
 
 def _box_filter(img: jax.Array, size: int) -> jax.Array:
-    k = jnp.ones((size,), img.dtype)
+    import numpy as np
+    k = np.ones((size,), np.float32)
     return imops._sep_filter(img, k, k)
 
 

@@ -56,6 +56,10 @@ def random_landmarks(key, n, x_range=(-15.0, 15.0), y_range=(-3.0, 6.0),
     return jnp.stack([x, y, z], axis=-1)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("H", "W", "sigma", "distinct"))
 def render_blobs(pts_uv, H, W, sigma=1.5, amplitudes=None, distinct=False):
     """Render gaussian blobs at (N, 2) pixel positions onto an (H, W) image.
 
@@ -104,15 +108,20 @@ def render_stereo_sequence(key, poses, landmarks, H=188, W=620, sigma=1.5,
     amp_key, _ = jax.random.split(key)
     amps = jax.random.uniform(amp_key, (landmarks.shape[0],), minval=120.0,
                               maxval=230.0)
+    @partial(jax.jit, static_argnames=())
+    def render_one(pose):
+        uv_l = world2pixel(left, landmarks, pose)
+        uv_r = world2pixel(right, landmarks, pose)
+        z = world2camera(left, landmarks, pose)[:, 2]
+        amps_t = jnp.where(z > 0.5, amps, 0.0)
+        return (render_blobs(uv_l, H, W, sigma, amps_t),
+                render_blobs(uv_r, H, W, sigma, amps_t))
+
     lefts, rights = [], []
     for t in range(poses.shape[0]):
-        uv_l = world2pixel(left, landmarks, poses[t])
-        uv_r = world2pixel(right, landmarks, poses[t])
-        z = world2camera(left, landmarks, poses[t])[:, 2]
-        vis = z > 0.5
-        amps_t = jnp.where(vis, amps, 0.0)
-        lefts.append(render_blobs(uv_l, H, W, sigma, amps_t))
-        rights.append(render_blobs(uv_r, H, W, sigma, amps_t))
+        l, r = render_one(poses[t])
+        lefts.append(l)
+        rights.append(r)
     return jnp.stack(lefts), jnp.stack(rights)
 
 
