@@ -35,12 +35,11 @@ def main():
     import synthetic
 
     from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
-    from stereovision_slam_tpu.slam.backend import Backend
     from stereovision_slam_tpu.slam.config import SlamConfig
-    from stereovision_slam_tpu.slam.pipeline import VisualOdometry
+    from stereovision_slam_tpu.slam.fused import FusedVisualOdometry
 
     H, W = 188, 620
-    T = 40
+    T = 120
     # Build + render the synthetic scene entirely on the CPU backend: a
     # large-working-set program on the TPU leaves the runtime in a degraded
     # ~55ms-per-dispatch state afterwards (axon quirk, measured), and the
@@ -49,15 +48,9 @@ def main():
     with jax.default_device(cpu):
         key = jax.random.PRNGKey(0)
         rig = synthetic.make_stereo_rig()
-        poses = synthetic.forward_motion_poses(T, step=0.6, yaw_rate=0.008)
-        k1, k2, k3 = jax.random.split(key, 3)
-        lms = jnp.concatenate([
-            synthetic.random_landmarks(k1, 120, z_range=(5, 50)),
-            synthetic.random_landmarks(k2, 100, z_range=(15, 60)) + jnp.array([0., 0., 10.]),
-            synthetic.random_landmarks(k3, 100, z_range=(25, 70)) + jnp.array([0., 0., 20.]),
-        ])
-        lefts, rights = synthetic.render_stereo_sequence(key, poses, lms, H=H,
-                                                         W=W, rig=rig)
+        poses = synthetic.forward_motion_poses(T, step=0.5, yaw_rate=0.0)
+        lefts, rights = synthetic.render_textured_stereo_sequence(
+            poses, H=H, W=W, rig=rig)
     lefts = np.asarray(lefts)
     rights = np.asarray(rights)
     # the rig cameras feed the TPU pipeline: rebuild them on the default device
@@ -65,17 +58,18 @@ def main():
 
     cfg = SlamConfig()  # reference defaults: 150 features, window 10
     ds = ArraySequenceDataset(lefts, rights, list(rig))
-    vo = VisualOdometry(cfg, ds, backend=Backend(chi2_th=cfg.chi2_th))
+    # fused streaming mode: the whole frame (pyramid + LK + pose solve +
+    # keyframe decision + triangulation + Schur BA) is ONE device program,
+    # no per-frame host syncs
+    vo = FusedVisualOdometry(cfg, ds)
     vo.initialize()
 
-    # warmup must cover ALL program types (pyramid, track, keyframe+BA):
-    # run until at least two keyframes have been inserted so keyframe_step
-    # and the BA program are compiled before timing starts
-    warmup = 0
-    while vo.kf_count < 2 and warmup < T - 10:
+    # warmup: stereo-init + first fused steps compile both cond branches
+    warmup = 6
+    for _ in range(warmup):
         if not vo.step():
             break
-        warmup += 1
+    jax.block_until_ready(vo.fs.T_cur)
 
     t0 = time.perf_counter()
     n = 0
@@ -85,6 +79,16 @@ def main():
     dt = time.perf_counter() - t0
 
     fps = n / dt if dt > 0 else 0.0
+
+    # correctness guard: a fast-but-broken run must not produce a score
+    keyframes, landmarks, frames = vo.drain()
+    n_in = np.array([int(f.n_inliers) for _, f in frames])
+    assert len(keyframes) >= 2, f"only {len(keyframes)} keyframes"
+    assert len(landmarks) > 50, f"only {len(landmarks)} landmarks"
+    assert np.all(n_in[1:] > 10), f"tracking collapsed: {n_in.tolist()}"
+    poses_arr = np.stack([pose for _, pose in keyframes.values()])
+    assert np.all(np.isfinite(poses_arr)), "non-finite keyframe poses"
+
     print(json.dumps({
         "metric": "frontend+BA frames/sec per chip (synthetic KITTI-scale 620x188)",
         "value": round(fps, 2),

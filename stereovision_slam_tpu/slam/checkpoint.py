@@ -33,8 +33,11 @@ def save_checkpoint(vo, path: str) -> None:
     arrays["fs.feat_uv"] = np.asarray(fs.feat_uv)
     arrays["fs.feat_lm"] = np.asarray(fs.feat_lm)
     arrays["fs.feat_valid"] = np.asarray(fs.feat_valid)
+    arrays["fs.ref_uv"] = np.asarray(fs.ref_uv)
     for i, level in enumerate(fs.pyr):
         arrays[f"fs.pyr.{i}"] = np.asarray(level)
+    for i, level in enumerate(fs.ref_pyr):
+        arrays[f"fs.ref_pyr.{i}"] = np.asarray(level)
 
     meta = {
         "version": FORMAT_VERSION,
@@ -82,6 +85,9 @@ def load_checkpoint(vo, path: str) -> None:
         feat_lm=jnp.asarray(data["fs.feat_lm"]),
         feat_valid=jnp.asarray(data["fs.feat_valid"]),
         pyr=pyr,
+        ref_uv=jnp.asarray(data["fs.ref_uv"]),
+        ref_pyr=tuple(jnp.asarray(data[f"fs.ref_pyr.{i}"])
+                      for i in range(meta["num_pyr_levels"])),
     )
     vo.status = fe.FrontendStatus[meta["status"]]
     vo.kf_count = meta["kf_count"]

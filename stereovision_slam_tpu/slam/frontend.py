@@ -28,7 +28,7 @@ from stereovision_slam_tpu.geometry.camera import Camera, pixel2camera
 from stereovision_slam_tpu.geometry import triangulation
 from stereovision_slam_tpu.ops import gftt, lk
 from stereovision_slam_tpu.slam import map_state as mapmod
-from stereovision_slam_tpu.slam.pose_solver import solve_pose
+from stereovision_slam_tpu.slam.pose_solver import solve_pose, solve_pose_multi
 
 
 class FrontendStatus(enum.Enum):
@@ -45,6 +45,8 @@ class FrontendState(NamedTuple):
     feat_lm: jax.Array    # (F,) landmark slot per feature, -1 = none
     feat_valid: jax.Array # (F,) slot in use
     pyr: tuple            # last frame's left-image pyramid
+    ref_uv: jax.Array     # (F, 2) feature positions at the anchor keyframe
+    ref_pyr: tuple        # anchor keyframe's left-image pyramid
 
 
 def init_state(F: int, pyramid, dtype=jnp.float32) -> FrontendState:
@@ -55,6 +57,8 @@ def init_state(F: int, pyramid, dtype=jnp.float32) -> FrontendState:
         feat_lm=jnp.full((F,), -1, jnp.int32),
         feat_valid=jnp.zeros((F,), bool),
         pyr=tuple(pyramid),
+        ref_uv=jnp.zeros((F, 2), dtype),
+        ref_pyr=tuple(pyramid),
     )
 
 
@@ -72,31 +76,89 @@ def _landmark_guesses(cam: Camera, T_guess: jax.Array, m: mapmod.MapState,
     return guess, lm_pos, linked
 
 
+def _blend_obs_cameras(cam_left: Camera, cam_right: Camera, n_left: int,
+                       n_right: int) -> Camera:
+    """Per-observation camera struct: first n_left rows left, rest right."""
+    def blend(a, b):
+        a_ = jnp.broadcast_to(jnp.asarray(a)[None, ...], (n_left,) + jnp.shape(a))
+        b_ = jnp.broadcast_to(jnp.asarray(b)[None, ...], (n_right,) + jnp.shape(b))
+        return jnp.concatenate([a_, b_], axis=0)
+    return Camera(*(blend(a, b) for a, b in zip(cam_left, cam_right)))
+
+
 @partial(jax.jit, static_argnames=("chi2_th", "rounds", "iters"))
 def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
-               cam_left: Camera, chi2_th: float = 5.991, rounds: int = 4,
-               iters: int = 10):
+               cam_left: Camera, cur_right_pyr: tuple = None,
+               cam_right: Camera = None, chi2_th: float = 5.991,
+               rounds: int = 4, iters: int = 10):
     """Track last-frame features into the current frame and solve the pose.
 
     One fused device program for the reference's Track() path
     (frontend.cpp:645-688): constant-velocity pose init, LK with reprojection
     guesses, LM pose solve with outlier unlinking, motion-model update.
 
-    Returns (new_state, num_inliers, num_tracked).
+    Beyond the reference (which estimates the per-frame pose from the left
+    camera only): when the right pyramid is supplied, features are also
+    LK-matched left->right in the CURRENT frame and the pose is solved over
+    both cameras' residuals. The stereo disparity pins the forward (z)
+    translation absolutely — mono pose-only tracking lets coherent LK bias
+    (near-field texture scaling) drag z, which was measured to diverge on
+    low-parallax scenes.
+
+    Returns (new_state, num_inliers, num_tracked). Inliers are counted on the
+    left-camera residuals (reference-compatible thresholds).
     """
+    F = fs.feat_uv.shape[0]
     T_guess = se3.se3_compose(fs.T_rel, fs.T_cur)
+    # multi-start inits for the pose solve: constant-velocity prediction,
+    # zero motion, and a half-step — breaks basin-trapping when the
+    # prediction drifts (see solve_pose_multi)
+    half_rel = se3.se3_exp(0.5 * se3.se3_log(fs.T_rel))
+    T_inits = jnp.stack([
+        T_guess,
+        fs.T_cur,
+        se3.se3_compose(half_rel, fs.T_cur),
+    ])
     guess, lm_pos, linked = _landmark_guesses(
         cam_left, T_guess, m, fs.feat_uv, fs.feat_lm, fs.feat_valid)
 
     cur_uv, status = lk.track(list(fs.pyr), list(cur_pyr), fs.feat_uv,
                               initial_pts=guess)
+    # drift-free refinement: re-localize against the ANCHOR KEYFRAME's
+    # templates with the frame-to-frame result as initialization (removes
+    # template-update drift; the reference tracks frame-to-frame only,
+    # frontend.cpp:322-392, and tolerates the drift)
+    ref_uv, ref_status = lk.track(list(fs.ref_pyr), list(cur_pyr), fs.ref_uv,
+                                  initial_pts=cur_uv)
+    # trust the anchored result whenever its LK converged (status already
+    # encodes bounds + conditioning); an outlier gate here would disable the
+    # drift correction exactly when accumulated drift is largest
+    cur_uv = jnp.where(ref_status[:, None], ref_uv, cur_uv)
     tracked = fs.feat_valid & status
     num_tracked = jnp.sum(tracked).astype(jnp.int32)
 
     use = tracked & linked
-    T_new, inlier, num_inliers = solve_pose(
-        cam_left, T_guess, lm_pos, cur_uv, use, chi2_th=chi2_th,
-        rounds=rounds, iters=iters)
+
+    if cur_right_pyr is not None and cam_right is not None:
+        # stereo constraints: match tracked features into the right image
+        guess_r, _, _ = _landmark_guesses(
+            cam_right, T_guess, m, cur_uv, fs.feat_lm, fs.feat_valid)
+        uv_r, status_r = lk.track(list(cur_pyr), list(cur_right_pyr), cur_uv,
+                                  initial_pts=guess_r)
+        use_r = use & status_r
+        cam_obs = _blend_obs_cameras(cam_left, cam_right, F, F)
+        pts2 = jnp.concatenate([lm_pos, lm_pos], axis=0)
+        obs2 = jnp.concatenate([cur_uv, uv_r], axis=0)
+        valid2 = jnp.concatenate([use, use_r], axis=0)
+        T_new, inlier2, _ = solve_pose_multi(
+            cam_obs, T_inits, pts2, obs2, valid2, chi2_th=chi2_th,
+            rounds=rounds, iters=iters)
+        inlier = inlier2[:F]
+        num_inliers = jnp.sum(inlier).astype(jnp.int32)
+    else:
+        T_new, inlier, num_inliers = solve_pose_multi(
+            cam_left, T_inits, lm_pos, cur_uv, use, chi2_th=chi2_th,
+            rounds=rounds, iters=iters)
 
     # unlink outlier features from their landmarks (frontend.cpp:544-553);
     # features that failed tracking are dead slots
@@ -109,6 +171,8 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
         feat_lm=feat_lm,
         feat_valid=tracked,
         pyr=tuple(cur_pyr),
+        ref_uv=fs.ref_uv,
+        ref_pyr=fs.ref_pyr,
     )
     return fs_new, num_inliers, num_tracked
 
@@ -192,6 +256,8 @@ def keyframe_step(fs: FrontendState, m: mapmod.MapState, right_pyr: tuple,
         jnp.asarray(kf_id, jnp.int32), feat_uv, uv_r, feat_lm,
         has_r & (feat_lm >= 0), feat_valid, num_active=num_active)
 
+    # re-anchor: this keyframe becomes the tracking template
     fs_new = fs._replace(feat_uv=feat_uv, feat_lm=feat_lm,
-                         feat_valid=feat_valid)
+                         feat_valid=feat_valid,
+                         ref_uv=feat_uv, ref_pyr=fs.pyr)
     return fs_new, m, ev, num_new, num_right

@@ -1,0 +1,265 @@
+"""Fully-fused streaming SLAM step: one device program per frame.
+
+The classic pipeline (slam/pipeline.py) mirrors the reference's host-driven
+frame loop: per frame it dispatches pyramid -> track -> (keyframe -> BA) as
+separate programs and reads the inlier count back for the keyframe decision
+(visual_odometry.cpp:109-156 + the Backend thread). That costs a host
+round-trip per frame and leaves the device idle between dispatches.
+
+This module is the TPU-native end state: the ENTIRE frame step — pyramid
+build, LK tracking, LM pose solve, the keyframe decision itself, and (under
+`lax.cond`) detection + triangulation + map insertion + Schur-complement BA —
+is ONE jitted program. The keyframe counter and the all-time archives
+(keyframe poses, evicted landmark positions) live on the device as part of
+the carried state, so the host enqueues frames back-to-back with NO
+synchronization; per-frame outputs are tiny scalar bundles the host drains
+asynchronously (or only at the end of the sequence).
+
+Semantics match the classic pipeline exactly (same cores are inlined); the
+keyframe decision `n_inliers < num_features_needed_for_keyframe` and the
+LOST gate follow frontend.cpp:664-679.
+
+Used by bench.py and for maximum-throughput deployments; the classic
+pipeline remains for interactive use (viewer / loop closure hooks at
+keyframe rate).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+import numpy as np
+
+from stereovision_slam_tpu.geometry import se3
+from stereovision_slam_tpu.ops import image as imops
+from stereovision_slam_tpu.slam import frontend as fe
+from stereovision_slam_tpu.slam import map_state as mapmod
+from stereovision_slam_tpu.slam.backend import optimize_window
+from stereovision_slam_tpu.slam.config import SlamConfig
+
+
+class ArchiveState(NamedTuple):
+    """Device-side all-time archives (host reads them once, at the end)."""
+    kf_pose: jax.Array      # (Tmax, 3, 4) final pose per keyframe id
+    kf_frame_id: jax.Array  # (Tmax,)
+    kf_set: jax.Array       # (Tmax,) bool
+    lm_pos: jax.Array       # (Lmax, 3) archived landmark positions by global id
+    lm_first_kf: jax.Array  # (Lmax,)
+    lm_set: jax.Array       # (Lmax,) bool
+
+
+class FrameOutputs(NamedTuple):
+    """Tiny per-frame bundle the host can drain asynchronously."""
+    n_inliers: jax.Array    # () int32
+    n_tracked: jax.Array    # () int32
+    kf_inserted: jax.Array  # () bool
+    kf_count: jax.Array     # () int32
+    pose: jax.Array         # (3, 4)
+
+
+def empty_archive(Tmax: int, Lmax: int, dtype=jnp.float32) -> ArchiveState:
+    return ArchiveState(
+        kf_pose=jnp.zeros((Tmax, 3, 4), dtype),
+        kf_frame_id=jnp.full((Tmax,), -1, jnp.int32),
+        kf_set=jnp.zeros((Tmax,), bool),
+        lm_pos=jnp.zeros((Lmax, 3), dtype),
+        lm_first_kf=jnp.full((Lmax,), -1, jnp.int32),
+        lm_set=jnp.zeros((Lmax,), bool),
+    )
+
+
+def _archive_eviction(arc: ArchiveState, ev: mapmod.EvictedKeyframe) -> ArchiveState:
+    """Fold an eviction event into the device archive."""
+    Tmax = arc.kf_pose.shape[0]
+    Lmax = arc.lm_pos.shape[0]
+    kf_idx = jnp.where(ev.happened, jnp.clip(ev.kf_id, 0, Tmax - 1), Tmax)
+    arc = arc._replace(
+        kf_pose=arc.kf_pose.at[kf_idx].set(ev.pose, mode="drop"),
+        kf_frame_id=arc.kf_frame_id.at[kf_idx].set(ev.frame_id, mode="drop"),
+        kf_set=arc.kf_set.at[kf_idx].set(True, mode="drop"),
+    )
+    # archived landmarks: scatter by global landmark id
+    lm_idx = jnp.where(ev.lm_archived & ev.happened,
+                       jnp.clip(ev.lm_id, 0, Lmax - 1), Lmax)
+    arc = arc._replace(
+        lm_pos=arc.lm_pos.at[lm_idx].set(ev.lm_pos, mode="drop"),
+        lm_first_kf=arc.lm_first_kf.at[lm_idx].set(ev.lm_first_kf, mode="drop"),
+        lm_set=arc.lm_set.at[lm_idx].set(True, mode="drop"),
+    )
+    return arc
+
+
+@partial(jax.jit, static_argnames=(
+    "num_levels", "num_features", "min_distance", "quality_level",
+    "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
+    "backend_on", "ba_iters"), donate_argnums=(0, 1, 2, 3))
+def fused_step(fs: fe.FrontendState, ms: mapmod.MapState, arc: ArchiveState,
+               kf_count: jax.Array, left_img: jax.Array, right_img: jax.Array,
+               frame_id: jax.Array, cam_left, cam_right, *,
+               num_levels: int = 4, num_features: int = 150,
+               min_distance: int = 20, quality_level: float = 0.01,
+               max_depth: float = 300.0, num_active: int = 10,
+               kf_threshold: int = 80, bad_threshold: int = 20,
+               chi2_th: float = 5.991, backend_on: bool = True,
+               ba_iters: int = 10):
+    """One full SLAM frame as a single program. Returns
+    (fs, ms, arc, kf_count, FrameOutputs)."""
+    pyr = tuple(imops.build_pyramid(left_img, num_levels))
+    right_pyr = tuple(imops.build_pyramid(right_img, num_levels))
+    fs, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
+                                        right_pyr, cam_right,
+                                        chi2_th=chi2_th)
+
+    lost = n_in <= bad_threshold
+    want_kf = (n_in < kf_threshold) & ~lost
+
+    def do_kf(operands):
+        fs, ms, arc, kf_count = operands
+        kf_id = kf_count + 1
+        fs2, ms2, ev, n_new, n_r = fe.keyframe_step(
+            fs, ms, right_pyr, cam_left, cam_right, frame_id, kf_id,
+            num_features=num_features, min_distance=min_distance,
+            quality_level=quality_level, max_depth=max_depth,
+            num_active=num_active, detect_all=False)
+        if backend_on:
+            ms2, _ = optimize_window(ms2, cam_left, cam_right,
+                                     chi2_th=chi2_th, iters=ba_iters)
+            newest = jnp.argmax(jnp.where(ms2.kf_valid, ms2.kf_id, -1))
+            fs2 = fs2._replace(T_cur=ms2.kf_pose[newest])
+        arc2 = _archive_eviction(arc, ev)
+        # record/refresh the new keyframe in the archive
+        Tmax = arc2.kf_pose.shape[0]
+        slot = jnp.clip(kf_id, 0, Tmax - 1)
+        arc2 = arc2._replace(
+            kf_pose=arc2.kf_pose.at[slot].set(fs2.T_cur),
+            kf_frame_id=arc2.kf_frame_id.at[slot].set(
+                frame_id.astype(jnp.int32)),
+            kf_set=arc2.kf_set.at[slot].set(True),
+        )
+        return fs2, ms2, arc2, kf_id
+
+    def no_kf(operands):
+        return operands
+
+    fs, ms, arc, kf_count = lax.cond(want_kf, do_kf, no_kf,
+                                     (fs, ms, arc, kf_count))
+    out = FrameOutputs(n_inliers=n_in, n_tracked=n_tracked,
+                       kf_inserted=want_kf, kf_count=kf_count,
+                       pose=fs.T_cur)
+    return fs, ms, arc, kf_count, out
+
+
+class FusedVisualOdometry:
+    """Streaming host wrapper: enqueue frames with zero per-frame syncs."""
+
+    def __init__(self, cfg: SlamConfig, dataset, max_total_keyframes: int = 4096,
+                 max_total_landmarks: int = 1 << 16):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.Tmax = max_total_keyframes
+        self.Lmax = max_total_landmarks
+        self.outputs: list[tuple[int, FrameOutputs]] = []
+        self.fs = None
+        self.ms = None
+        self.arc = None
+        self.kf_count = None
+        self._initialized_map = False
+
+    def initialize(self):
+        self.dataset.initialize()
+        self.cam_left = self.dataset.get_camera(self.dataset.left_cam_index)
+        self.cam_right = self.dataset.get_camera(self.dataset.right_cam_index)
+        cfg = self.cfg
+        self.ms = mapmod.empty_map(cfg.max_keyframes_window, cfg.max_features,
+                                   cfg.max_landmarks)
+        self.arc = empty_archive(self.Tmax, self.Lmax)
+        self.kf_count = jnp.asarray(0, jnp.int32)
+        self._pyramid_fn = jax.jit(
+            lambda img: tuple(imops.build_pyramid(img, cfg.lk_num_levels)))
+
+    def _stereo_init(self, frame):
+        """First keyframe via the classic keyframe program (one-off)."""
+        cfg = self.cfg
+        left = jnp.asarray(frame.left, jnp.float32)
+        right = jnp.asarray(frame.right, jnp.float32)
+        pyr = self._pyramid_fn(left)
+        self.fs = fe.init_state(cfg.max_features, pyr)
+        right_pyr = self._pyramid_fn(right)
+        self.fs, self.ms, ev, n_new, n_r = fe.keyframe_step(
+            self.fs, self.ms, right_pyr, self.cam_left, self.cam_right,
+            frame.frame_id, 0,
+            num_features=cfg.num_features, min_distance=cfg.gftt_min_distance,
+            quality_level=cfg.gftt_quality_level,
+            max_depth=cfg.max_triangulation_depth,
+            num_active=cfg.num_active_keyframes, detect_all=True)
+        self.arc = self.arc._replace(
+            kf_pose=self.arc.kf_pose.at[0].set(self.fs.T_cur),
+            kf_frame_id=self.arc.kf_frame_id.at[0].set(frame.frame_id),
+            kf_set=self.arc.kf_set.at[0].set(True),
+        )
+        self._initialized_map = True
+
+    def step(self) -> bool:
+        frame = self.dataset.next_frame()
+        if frame is None:
+            return False
+        if not self._initialized_map:
+            self._stereo_init(frame)
+            return True
+        cfg = self.cfg
+        left = jnp.asarray(frame.left, jnp.float32)
+        right = jnp.asarray(frame.right, jnp.float32)
+        self.fs, self.ms, self.arc, self.kf_count, out = fused_step(
+            self.fs, self.ms, self.arc, self.kf_count, left, right,
+            jnp.asarray(frame.frame_id, jnp.int32),
+            self.cam_left, self.cam_right,
+            num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
+            min_distance=cfg.gftt_min_distance,
+            quality_level=cfg.gftt_quality_level,
+            max_depth=cfg.max_triangulation_depth,
+            num_active=cfg.num_active_keyframes,
+            kf_threshold=cfg.num_features_needed_for_keyframe,
+            bad_threshold=cfg.num_features_tracking_bad,
+            chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
+            ba_iters=cfg.ba_lm_iters)
+        self.outputs.append((frame.frame_id, out))
+        return True
+
+    def run(self):
+        while self.step():
+            pass
+        jax.block_until_ready(self.fs.T_cur)
+
+    # ------------------------------------------------------------------ #
+
+    def drain(self):
+        """Materialize archives + per-frame outputs on the host (one sync)."""
+        arc = jax.tree.map(np.asarray, self.arc)
+        ms = jax.tree.map(np.asarray, self.ms)
+        fs_pose = np.asarray(self.fs.T_cur)
+
+        keyframes = {}
+        for kf_id in np.nonzero(arc.kf_set)[0]:
+            keyframes[int(kf_id)] = (int(arc.kf_frame_id[kf_id]),
+                                     arc.kf_pose[kf_id])
+        # active window overrides archive (freshest poses)
+        for slot in np.nonzero(ms.kf_valid)[0]:
+            keyframes[int(ms.kf_id[slot])] = (int(ms.kf_frame_id[slot]),
+                                              ms.kf_pose[slot])
+        landmarks = {}
+        for gid in np.nonzero(arc.lm_set)[0]:
+            landmarks[int(gid)] = arc.lm_pos[gid]
+        for slot in np.nonzero(ms.lm_valid)[0]:
+            landmarks[int(ms.lm_id[slot])] = ms.lm_pos[slot]
+
+        frames = [(fid, FrameOutputs(*[np.asarray(v) for v in out]))
+                  for fid, out in self.outputs]
+        return keyframes, landmarks, frames
+
+    def trajectory(self) -> dict[int, np.ndarray]:
+        keyframes, _, _ = self.drain()
+        return {fid: pose for fid, pose in keyframes.values()}

@@ -104,8 +104,11 @@ class VisualOdometry:
             self._stereo_init(frame, pyr)
             return
 
+        right = jnp.asarray(frame.right, jnp.float32)
+        right_pyr = self._pyramid_fn(right)
         fs_new, n_in, n_tracked = fe.track_step(
-            self.fs, self.ms, pyr, self.cam_left, chi2_th=cfg.chi2_th,
+            self.fs, self.ms, pyr, self.cam_left, right_pyr, self.cam_right,
+            chi2_th=cfg.chi2_th,
             rounds=cfg.pose_rounds, iters=cfg.pose_iters_per_round)
         self.fs = fs_new
         num_inliers = int(n_in)

@@ -91,8 +91,62 @@ def render_blobs(pts_uv, H, W, sigma=1.5, amplitudes=None, distinct=False):
     return jnp.clip(jnp.sum(blobs, axis=0) + 30.0, 0.0, 255.0)
 
 
+@partial(jax.jit, static_argnames=("H", "W", "sigma", "win", "distinct"))
+def render_blobs_splat(pts_uv, H, W, sigma=1.5, amplitudes=None, win=15,
+                       distinct=False):
+    """Sparse blob renderer: each landmark splats a win x win patch via
+    scatter-add — O(N * win^2) instead of O(N * H * W), needed once scenes
+    have hundreds of landmarks over long sequences."""
+    n = pts_uv.shape[0]
+    if amplitudes is None:
+        amplitudes = jnp.full(n, 200.0)
+    r = win // 2
+    # points far outside the image (or non-finite, e.g. z~0 projections)
+    # must not splat: the float->int32 cast of huge coords is undefined and
+    # can wrap into valid indices (ghost blobs)
+    sane = (jnp.isfinite(pts_uv).all(axis=1)
+            & (pts_uv[:, 0] > -4 * win) & (pts_uv[:, 0] < W + 4 * win)
+            & (pts_uv[:, 1] > -4 * win) & (pts_uv[:, 1] < H + 4 * win))
+    amplitudes = jnp.where(sane, amplitudes, 0.0)
+    pts_uv = jnp.where(sane[:, None], pts_uv, -2.0 * win)
+    base = jnp.floor(pts_uv) - r            # (N, 2) top-left, float
+    frac_off = pts_uv - base                # in [r, r+1)
+    dy = jnp.arange(win, dtype=jnp.float32)
+    dx = jnp.arange(win, dtype=jnp.float32)
+    # distances of each patch cell to the (sub-pixel) center
+    ddx = dx[None, None, :] - frac_off[:, 0, None, None]
+    ddy = dy[None, :, None] - frac_off[:, 1, None, None]
+    if distinct:
+        idx = jnp.arange(n, dtype=jnp.float32)
+        sx = sigma * (0.8 + 0.9 * ((idx * 0.37) % 1.0))[:, None, None]
+        sy = sigma * (0.8 + 0.9 * ((idx * 0.61) % 1.0))[:, None, None]
+        ang = (idx * 2.39996)[:, None, None]
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        u = ca * ddx + sa * ddy
+        v = -sa * ddx + ca * ddy
+        patch = amplitudes[:, None, None] * jnp.exp(
+            -((u / sx) ** 2 + (v / sy) ** 2) / 2.0)
+    else:
+        patch = amplitudes[:, None, None] * jnp.exp(
+            -(ddx * ddx + ddy * ddy) / (2 * sigma * sigma))
+    # scatter-add into a padded canvas so every index is in bounds by
+    # construction (scatter modes clamp border-crossing cells onto the edge,
+    # which folds blob energy onto border pixels)
+    pad = 5 * win
+    ys = base[:, 1].astype(jnp.int32)[:, None, None] + \
+        jnp.arange(win, dtype=jnp.int32)[None, :, None] + pad
+    xs = base[:, 0].astype(jnp.int32)[:, None, None] + \
+        jnp.arange(win, dtype=jnp.int32)[None, None, :] + pad
+    ys = jnp.broadcast_to(jnp.clip(ys, 0, H + 2 * pad - 1), (n, win, win))
+    xs = jnp.broadcast_to(jnp.clip(xs, 0, W + 2 * pad - 1), (n, win, win))
+    canvas = jnp.zeros((H + 2 * pad, W + 2 * pad), jnp.float32)
+    canvas = canvas.at[ys, xs].add(patch)
+    img = canvas[pad:pad + H, pad:pad + W]
+    return jnp.clip(img + 30.0, 0.0, 255.0)
+
+
 def render_stereo_sequence(key, poses, landmarks, H=188, W=620, sigma=1.5,
-                           rig=None):
+                           rig=None, distinct=False):
     """Render left/right images of a blob world for each rig pose.
 
     Args:
@@ -114,12 +168,137 @@ def render_stereo_sequence(key, poses, landmarks, H=188, W=620, sigma=1.5,
         uv_r = world2pixel(right, landmarks, pose)
         z = world2camera(left, landmarks, pose)[:, 2]
         amps_t = jnp.where(z > 0.5, amps, 0.0)
-        return (render_blobs(uv_l, H, W, sigma, amps_t),
-                render_blobs(uv_r, H, W, sigma, amps_t))
+        return (render_blobs_splat(uv_l, H, W, sigma, amps_t, distinct=distinct),
+                render_blobs_splat(uv_r, H, W, sigma, amps_t, distinct=distinct))
 
     lefts, rights = [], []
     for t in range(poses.shape[0]):
         l, r = render_one(poses[t])
+        lefts.append(l)
+        rights.append(r)
+    return jnp.stack(lefts), jnp.stack(rights)
+
+
+def _value_noise(x: jax.Array, z: jax.Array, octaves=4, base_scale=0.7):
+    """Deterministic multi-octave value noise over 2-D coordinates.
+
+    Lattice hashes + bilinear interpolation; smooth, richly textured, exact
+    under resampling — what LK/GFTT need to behave like on real imagery.
+    """
+    total = jnp.zeros_like(x)
+    amp = 1.0
+    for o in range(octaves):
+        s = base_scale * (2.0 ** o)
+        xs = x * s
+        zs = z * s
+        x0 = jnp.floor(xs)
+        z0 = jnp.floor(zs)
+        fx = xs - x0
+        fz = zs - z0
+        # smoothstep
+        fx = fx * fx * (3.0 - 2.0 * fx)
+        fz = fz * fz * (3.0 - 2.0 * fz)
+
+        def h(ix, iz):
+            v = jnp.sin(ix * 127.1 + iz * 311.7 + o * 74.7) * 43758.5453
+            return v - jnp.floor(v)
+
+        v00 = h(x0, z0)
+        v10 = h(x0 + 1, z0)
+        v01 = h(x0, z0 + 1)
+        v11 = h(x0 + 1, z0 + 1)
+        val = ((1 - fx) * (1 - fz) * v00 + fx * (1 - fz) * v10
+               + (1 - fx) * fz * v01 + fx * fz * v11)
+        total = total + amp * val
+        amp *= 0.55
+    return total / 2.1
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
+def render_textured_view(cam_params, T_cw, H, W, ground_y=1.7):
+    """Raycast a textured world: ground plane (strong parallax texture) +
+    infinitely-distant angular sky texture. Geometry is exact under the
+    pinhole model, so stereo disparity / optical flow / triangulation all
+    have rigorous ground truth — unlike blob fields, the texture is
+    everywhere and self-dissimilar (no LK wrong-locks).
+
+    cam_params: (fx, fy, cx, cy) scalars. T_cw: (3, 4) world->camera.
+    """
+    fx, fy, cx, cy = cam_params
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    d_cam = jnp.stack([(xx - cx) / fx, (yy - cy) / fy, jnp.ones_like(xx)],
+                      axis=-1)                     # (H, W, 3)
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    o = -R.T @ t                                   # camera center in world
+    d = jnp.einsum("ji,hwj->hwi", R, d_cam)        # rays in world
+
+    BIG = 1e9
+
+    # ground plane world y = ground_y (y down)
+    dy = d[..., 1]
+    t_g = (ground_y - o[1]) / jnp.where(jnp.abs(dy) < 1e-6, 1e-6, dy)
+    t_g = jnp.where((dy > 1e-4) & (t_g > 0.0) & (t_g < 400.0), t_g, BIG)
+
+    # vertical side walls at world x = +-wall_x (textured building fronts);
+    # they give off-plane structure so pose estimation is well-conditioned
+    wall_x = 13.0
+    dx = d[..., 0]
+    dx_safe = jnp.where(jnp.abs(dx) < 1e-6, 1e-6, dx)
+    t_wl = (-wall_x - o[0]) / dx_safe
+    t_wr = (wall_x - o[0]) / dx_safe
+    def wall_valid(t_w):
+        y_at = o[1] + t_w * d[..., 1]
+        return (t_w > 0.0) & (t_w < 400.0) & (y_at < ground_y) & (y_at > -8.0)
+    t_wl = jnp.where(wall_valid(t_wl), t_wl, BIG)
+    t_wr = jnp.where(wall_valid(t_wr), t_wr, BIG)
+    t_w = jnp.minimum(t_wl, t_wr)
+
+    t_hit = jnp.minimum(t_g, t_w)
+    px = o[0] + t_hit * d[..., 0]
+    py = o[1] + t_hit * d[..., 1]
+    pz = o[2] + t_hit * d[..., 2]
+
+    ground = _value_noise(px, pz, octaves=5, base_scale=0.9)
+    shade = 1.0 / (1.0 + 0.004 * t_hit * t_hit)
+    ground_val = 40.0 + 190.0 * ground * (0.35 + 0.65 * shade)
+    wall = _value_noise(pz * 1.3, py * 1.6, octaves=5, base_scale=0.8)
+    wall_val = 55.0 + 170.0 * wall * (0.4 + 0.6 * shade)
+
+    # sky: angular texture (infinitely far -> zero parallax, world-fixed)
+    norm = jnp.linalg.norm(d, axis=-1, keepdims=True)
+    dn = d / jnp.maximum(norm, 1e-9)
+    az = jnp.arctan2(dn[..., 0], dn[..., 2])
+    el = dn[..., 1]
+    sky = _value_noise(az * 14.0, el * 26.0, octaves=4, base_scale=1.0)
+    sky_val = 90.0 + 120.0 * sky
+
+    val = jnp.where(t_hit >= BIG, sky_val,
+                    jnp.where(t_g <= t_w, ground_val, wall_val))
+    return jnp.clip(val, 0.0, 255.0)
+
+
+def render_textured_stereo_sequence(poses, H=188, W=620, rig=None,
+                                    ground_y=1.7):
+    """Textured-world stereo sequence for (T, 3, 4) rig poses."""
+    if rig is None:
+        rig = make_stereo_rig()
+    left, right = rig
+    from stereovision_slam_tpu.geometry import se3 as _se3
+
+    @jax.jit
+    def render_pair(pose):
+        Tl = _se3.se3_compose(left.pose, pose)
+        Tr = _se3.se3_compose(right.pose, pose)
+        pl = (left.fx, left.fy, left.cx, left.cy)
+        pr = (right.fx, right.fy, right.cx, right.cy)
+        return (render_textured_view(pl, Tl, H, W, ground_y),
+                render_textured_view(pr, Tr, H, W, ground_y))
+
+    lefts, rights = [], []
+    for t in range(poses.shape[0]):
+        l, r = render_pair(poses[t])
         lefts.append(l)
         rights.append(r)
     return jnp.stack(lefts), jnp.stack(rights)

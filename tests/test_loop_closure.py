@@ -149,7 +149,8 @@ def test_full_closure_updates_map_and_records_edge():
     from stereovision_slam_tpu.slam import frontend as fe
     vo.fs = fe.FrontendState(T_cur=T_drift, T_rel=se3.se3_identity(),
                              feat_uv=uv1_pad, feat_lm=jnp.where(create, slots, -1),
-                             feat_valid=create, pyr=(img1,))
+                             feat_valid=create, pyr=(img1,),
+                             ref_uv=uv1_pad, ref_pyr=(img1,))
     vo.archived_keyframes[30] = KeyframeRecord(frame_id=30, kf_id=30,
                                                pose=np.asarray(T_drift))
 
