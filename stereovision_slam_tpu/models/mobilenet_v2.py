@@ -114,6 +114,22 @@ def embed_image(params: dict, img_gray: jax.Array) -> jax.Array:
     return embed(params, preprocess(img_gray))[0]
 
 
+@jax.jit
+def embed_image_thumbnail(img_gray: jax.Array) -> jax.Array:
+    """Weight-free place-recognition embedding: blurred 16x80 thumbnail,
+    mean-subtracted and L2-normalized (1280-d, same DB shape as MobileNet).
+
+    Used when no pretrained MobileNet weights are available (this
+    environment ships none): a randomly-initialized CNN cannot discriminate
+    places, while the classic "tiny image" descriptor retains coarse scene
+    layout and is fully deterministic.
+    """
+    img = imops.gaussian_blur(img_gray, 7)
+    thumb = jax.image.resize(img, (16, 80), "linear").reshape(-1)
+    thumb = thumb - jnp.mean(thumb)
+    return thumb / jnp.maximum(jnp.linalg.norm(thumb), 1e-9)
+
+
 # --------------------------------------------------------------------- #
 # parameter construction
 

@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from stereovision_slam_tpu.geometry import se3, jacobians
 from stereovision_slam_tpu.geometry.camera import Camera, pixel2camera
 from stereovision_slam_tpu.geometry import triangulation
-from stereovision_slam_tpu.ops import gftt, lk
+from stereovision_slam_tpu.ops import fast, gftt, lk
 from stereovision_slam_tpu.slam import map_state as mapmod
 from stereovision_slam_tpu.slam.pose_solver import solve_pose, solve_pose_multi
 
@@ -179,12 +179,13 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
 
 @partial(jax.jit, static_argnames=(
     "num_features", "min_distance", "quality_level", "max_depth",
-    "num_active", "detect_all"), donate_argnums=(1,))
+    "num_active", "detect_all", "detector"), donate_argnums=(1,))
 def keyframe_step(fs: FrontendState, m: mapmod.MapState, right_pyr: tuple,
                   cam_left: Camera, cam_right: Camera, frame_id, kf_id,
                   num_features: int = 150, min_distance: int = 20,
                   quality_level: float = 0.01, max_depth: float = 300.0,
-                  num_active: int = 10, detect_all: bool = False):
+                  num_active: int = 10, detect_all: bool = False,
+                  detector: str = "gftt"):
     """Make the current frame a keyframe.
 
     Covers Frontend::InsertKeyframe + StereoInit (frontend.cpp:576-643,
@@ -206,9 +207,15 @@ def keyframe_step(fs: FrontendState, m: mapmod.MapState, right_pyr: tuple,
     else:
         mask = gftt.occupancy_mask((H, W), fs.feat_uv, fs.feat_valid,
                                    min_distance // 2)
-    new_pts, new_valid, _ = gftt.detect(
-        left_img, max_corners=F, quality_level=quality_level,
-        min_distance=min_distance, mask=mask)
+    if detector.lower() in ("orb", "fast"):
+        # the reference's ORB detector alternative (frontend.cpp:26-29);
+        # FAST-9 corners, strongest-first like cv::ORB's retention
+        new_pts, new_valid, _ = fast.detect(
+            left_img, max_corners=F, min_distance=min_distance, mask=mask)
+    else:
+        new_pts, new_valid, _ = gftt.detect(
+            left_img, max_corners=F, quality_level=quality_level,
+            min_distance=min_distance, mask=mask)
     # cap at num_features detections (cv::GFTTDetector maxCorners,
     # frontend.cpp:24); detections come strongest-first
     cap = jnp.arange(F) < num_features

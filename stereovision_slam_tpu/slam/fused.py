@@ -96,7 +96,7 @@ def _archive_eviction(arc: ArchiveState, ev: mapmod.EvictedKeyframe) -> ArchiveS
 @partial(jax.jit, static_argnames=(
     "num_levels", "num_features", "min_distance", "quality_level",
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
-    "backend_on", "ba_iters"), donate_argnums=(0, 1, 2, 3))
+    "backend_on", "ba_iters", "detector"), donate_argnums=(0, 1, 2, 3))
 def fused_step(fs: fe.FrontendState, ms: mapmod.MapState, arc: ArchiveState,
                kf_count: jax.Array, left_img: jax.Array, right_img: jax.Array,
                frame_id: jax.Array, cam_left, cam_right, *,
@@ -105,7 +105,7 @@ def fused_step(fs: fe.FrontendState, ms: mapmod.MapState, arc: ArchiveState,
                max_depth: float = 300.0, num_active: int = 10,
                kf_threshold: int = 80, bad_threshold: int = 20,
                chi2_th: float = 5.991, backend_on: bool = True,
-               ba_iters: int = 10):
+               ba_iters: int = 10, detector: str = "gftt"):
     """One full SLAM frame as a single program. Returns
     (fs, ms, arc, kf_count, FrameOutputs)."""
     pyr = tuple(imops.build_pyramid(left_img, num_levels))
@@ -124,7 +124,7 @@ def fused_step(fs: fe.FrontendState, ms: mapmod.MapState, arc: ArchiveState,
             fs, ms, right_pyr, cam_left, cam_right, frame_id, kf_id,
             num_features=num_features, min_distance=min_distance,
             quality_level=quality_level, max_depth=max_depth,
-            num_active=num_active, detect_all=False)
+            num_active=num_active, detect_all=False, detector=detector)
         if backend_on:
             ms2, _ = optimize_window(ms2, cam_left, cam_right,
                                      chi2_th=chi2_th, iters=ba_iters)
@@ -195,7 +195,8 @@ class FusedVisualOdometry:
             num_features=cfg.num_features, min_distance=cfg.gftt_min_distance,
             quality_level=cfg.gftt_quality_level,
             max_depth=cfg.max_triangulation_depth,
-            num_active=cfg.num_active_keyframes, detect_all=True)
+            num_active=cfg.num_active_keyframes, detect_all=True,
+            detector=cfg.keypoint_feature_detector.lower())
         self.arc = self.arc._replace(
             kf_pose=self.arc.kf_pose.at[0].set(self.fs.T_cur),
             kf_frame_id=self.arc.kf_frame_id.at[0].set(frame.frame_id),
@@ -225,7 +226,8 @@ class FusedVisualOdometry:
             kf_threshold=cfg.num_features_needed_for_keyframe,
             bad_threshold=cfg.num_features_tracking_bad,
             chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
-            ba_iters=cfg.ba_lm_iters)
+            ba_iters=cfg.ba_lm_iters,
+            detector=cfg.keypoint_feature_detector.lower())
         self.outputs.append((frame.frame_id, out))
         return True
 

@@ -93,10 +93,21 @@ def _match_and_count(cand_desc, cand_ok, cur_desc, cur_ok, cand_lm_has):
 class LoopClosure:
     """Host orchestrator for the loop-closure pipeline."""
 
-    def __init__(self, cfg, cam_left, mnv2_weights_path: str | None = None):
+    def __init__(self, cfg, cam_left, mnv2_weights_path: str | None = None,
+                 embedder: str = "auto"):
+        """embedder: 'mobilenet' (requires weights for useful similarity),
+        'thumbnail' (weight-free tiny-image descriptor), or 'auto'
+        (mobilenet when a weights file exists, thumbnail otherwise)."""
         self.cfg = cfg
         self.cam_left = cam_left
-        self.params = mnv2.get_params(mnv2_weights_path)
+        import os
+        have_weights = bool(mnv2_weights_path) and os.path.exists(
+            mnv2_weights_path or "")
+        if embedder == "auto":
+            embedder = "mobilenet" if have_weights else "thumbnail"
+        self.embedder = embedder
+        self.params = mnv2.get_params(mnv2_weights_path) \
+            if embedder == "mobilenet" else None
         self.db: dict[int, ProcessedKeyframe] = {}
         self.loop_edges: list[LoopEdge] = []
         self.last_closed_kf_id: int | None = None
@@ -124,7 +135,10 @@ class LoopClosure:
 
     def _process(self, vo, frame, kf_id) -> ProcessedKeyframe:
         left = jnp.asarray(frame.left, jnp.float32)
-        embedding = np.asarray(mnv2.embed_image(self.params, left))
+        if self.embedder == "mobilenet":
+            embedding = np.asarray(mnv2.embed_image(self.params, left))
+        else:
+            embedding = np.asarray(mnv2.embed_image_thumbnail(left))
         fs, ms = vo.fs, vo.ms
         desc, ok = descriptors.compute(left, fs.feat_uv, fs.feat_valid)
         safe = jnp.clip(fs.feat_lm, 0, ms.lm_pos.shape[0] - 1)

@@ -140,7 +140,8 @@ class VisualOdometry:
             num_features=cfg.num_features, min_distance=cfg.gftt_min_distance,
             quality_level=cfg.gftt_quality_level,
             max_depth=cfg.max_triangulation_depth,
-            num_active=cfg.num_active_keyframes, detect_all=True)
+            num_active=cfg.num_active_keyframes, detect_all=True,
+            detector=cfg.keypoint_feature_detector.lower())
         if int(n_new) >= cfg.num_features_init:
             self.fs, self.ms = fs, ms
             self._register_keyframe(frame.frame_id)
@@ -162,7 +163,8 @@ class VisualOdometry:
             num_features=cfg.num_features, min_distance=cfg.gftt_min_distance,
             quality_level=cfg.gftt_quality_level,
             max_depth=cfg.max_triangulation_depth,
-            num_active=cfg.num_active_keyframes, detect_all=False)
+            num_active=cfg.num_active_keyframes, detect_all=False,
+            detector=cfg.keypoint_feature_detector.lower())
         self._register_keyframe(frame.frame_id)
         self._archive_eviction(ev)
         self._notify_backend()

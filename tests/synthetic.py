@@ -215,6 +215,96 @@ def _value_noise(x: jax.Array, z: jax.Array, octaves=4, base_scale=0.7):
 
 
 @partial(jax.jit, static_argnames=("H", "W"))
+def render_textured_view_cylinder(cam_params, T_cw, H, W, ground_y=1.7,
+                                  center_x=0.0, center_z=0.0, radius=30.0):
+    """Raycast variant for loop-closure scenarios: textured ground plane
+    inside a textured cylinder wall — a closed arena, so a circular
+    trajectory revisits identical views."""
+    fx, fy, cx, cy = cam_params
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    d_cam = jnp.stack([(xx - cx) / fx, (yy - cy) / fy, jnp.ones_like(xx)],
+                      axis=-1)
+    R = T_cw[:3, :3]
+    t = T_cw[:3, 3]
+    o = -R.T @ t
+    d = jnp.einsum("ji,hwj->hwi", R, d_cam)
+    BIG = 1e9
+
+    dy = d[..., 1]
+    t_g = (ground_y - o[1]) / jnp.where(jnp.abs(dy) < 1e-6, 1e-6, dy)
+    t_g = jnp.where((dy > 1e-4) & (t_g > 0.0) & (t_g < 400.0), t_g, BIG)
+
+    # ray-cylinder: |o_xz + t d_xz - c|^2 = radius^2
+    ox = o[0] - center_x
+    oz = o[2] - center_z
+    dx = d[..., 0]
+    dz = d[..., 2]
+    a = dx * dx + dz * dz
+    b = 2.0 * (ox * dx + oz * dz)
+    c = ox * ox + oz * oz - radius * radius
+    disc = b * b - 4 * a * c
+    a_safe = jnp.where(jnp.abs(a) < 1e-9, 1e-9, a)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b - sq) / (2 * a_safe)
+    t2 = (-b + sq) / (2 * a_safe)
+    t_c = jnp.where(t1 > 1e-3, t1, t2)
+    y_at = o[1] + t_c * dy
+    t_c = jnp.where((disc > 0) & (t_c > 1e-3) & (y_at < ground_y)
+                    & (y_at > -10.0), t_c, BIG)
+
+    t_hit = jnp.minimum(t_g, t_c)
+    px = o[0] + t_hit * d[..., 0]
+    py = o[1] + t_hit * d[..., 1]
+    pz = o[2] + t_hit * d[..., 2]
+
+    ground = _value_noise(px, pz, octaves=5, base_scale=0.9)
+    shade = 1.0 / (1.0 + 0.002 * t_hit * t_hit)
+    ground_val = 40.0 + 190.0 * ground * (0.35 + 0.65 * shade)
+    # wall texture by unrolled angle + height (world-fixed)
+    ang = jnp.arctan2(px - center_x, pz - center_z)
+    wall = _value_noise(ang * radius * 0.8, py * 1.6, octaves=5,
+                        base_scale=0.8)
+    wall_val = 55.0 + 170.0 * wall * (0.4 + 0.6 * shade)
+
+    sky_val = 120.0
+    val = jnp.where(t_hit >= BIG, sky_val,
+                    jnp.where(t_g <= t_c, ground_val, wall_val))
+    return jnp.clip(val, 0.0, 255.0)
+
+
+def render_arena_stereo_sequence(poses, H=188, W=620, rig=None,
+                                 center=(0.0, 10.0), radius=30.0):
+    """Cylindrical-arena stereo sequence (loop-closure scenarios)."""
+    if rig is None:
+        rig = make_stereo_rig()
+    left, right = rig
+    from stereovision_slam_tpu.geometry import se3 as _se3
+
+    @jax.jit
+    def render_pair(pose):
+        Tl = _se3.se3_compose(left.pose, pose)
+        Tr = _se3.se3_compose(right.pose, pose)
+        pl = (left.fx, left.fy, left.cx, left.cy)
+        pr = (right.fx, right.fy, right.cx, right.cy)
+        return (render_textured_view_cylinder(pl, Tl, H, W,
+                                              center_x=center[0],
+                                              center_z=center[1],
+                                              radius=radius),
+                render_textured_view_cylinder(pr, Tr, H, W,
+                                              center_x=center[0],
+                                              center_z=center[1],
+                                              radius=radius))
+
+    lefts, rights = [], []
+    for t in range(poses.shape[0]):
+        l, r = render_pair(poses[t])
+        lefts.append(l)
+        rights.append(r)
+    return jnp.stack(lefts), jnp.stack(rights)
+
+
+@partial(jax.jit, static_argnames=("H", "W"))
 def render_textured_view(cam_params, T_cw, H, W, ground_y=1.7):
     """Raycast a textured world: ground plane (strong parallax texture) +
     infinitely-distant angular sky texture. Geometry is exact under the

@@ -107,3 +107,38 @@ def test_lk_status_false_for_out_of_bounds():
     guess = pts + jnp.array([40.0, 0.0])
     _, status = lk.track(pyr0, pyr1, pts, initial_pts=guess)
     assert not bool(status[0])
+
+
+def test_fast_detector_finds_blob_centers():
+    # note: an ideal checkerboard corner splits the FAST ring 8/8 and is
+    # correctly rejected by the 9-contiguous test; bright blobs are the
+    # canonical positive case
+    from stereovision_slam_tpu.ops import fast
+    H, W = 128, 160
+    pts_true = jnp.array([[40.0, 40.0], [100.0, 60.0], [70.0, 90.0],
+                          [130.0, 30.0]])
+    img = synthetic.render_blobs(pts_true, H, W, sigma=2.5)
+    pts, valid, scores = fast.detect(img, max_corners=16, min_distance=8)
+    p = np.asarray(pts[np.asarray(valid)])
+    assert len(p) >= 4
+    for t in np.asarray(pts_true):
+        d = np.linalg.norm(p - t, axis=1).min()
+        assert d <= 3.0, f"blob at {t} missed (nearest {d:.1f})"
+
+
+def test_fast_flat_image_no_corners():
+    from stereovision_slam_tpu.ops import fast
+    img = jnp.full((64, 64), 80.0)
+    _, valid, _ = fast.detect(img, max_corners=16)
+    assert int(valid.sum()) == 0
+
+
+def test_keyframe_step_orb_detector_runs():
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__
+    import stereovision_slam_tpu.slam.frontend as fe
+    fs, m, pyr1, cam_l, cam_r = __graft_entry__._tiny_scene()
+    fs2, m2, ev, n_new, n_r = fe.keyframe_step(
+        fs, m, fs.pyr, cam_l, cam_r, 3, 3, detector="orb")
+    assert np.all(np.isfinite(np.asarray(fs2.feat_uv)))
