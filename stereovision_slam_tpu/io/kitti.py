@@ -20,6 +20,7 @@ import numpy as np
 
 from stereovision_slam_tpu.geometry import se3
 from stereovision_slam_tpu.geometry.camera import Camera
+from stereovision_slam_tpu.utils.exceptions import DatasetError
 
 try:
     from PIL import Image
@@ -52,7 +53,7 @@ class KittiDataset:
     def initialize(self) -> None:
         calib_path = os.path.join(self.dataset_dir, "calib.txt")
         if not os.path.exists(calib_path):
-            raise FileNotFoundError(
+            raise DatasetError(
                 f"Cannot open KITTI camera parameters file: {calib_path}")
         self.cameras = []
         with open(calib_path) as f:
@@ -71,7 +72,7 @@ class KittiDataset:
                     fx=Ks[0, 0], fy=Ks[1, 1], cx=Ks[0, 2], cy=Ks[1, 2],
                     baseline=baseline, pose=pose))
         if len(self.cameras) < 2:
-            raise ValueError(f"calib.txt yielded {len(self.cameras)} cameras")
+            raise DatasetError(f"calib.txt yielded {len(self.cameras)} cameras")
         self.current_index = 0
 
     def get_camera(self, camera_id: int) -> Camera:

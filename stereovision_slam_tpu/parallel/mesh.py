@@ -15,6 +15,31 @@ import numpy as np
 from jax.sharding import Mesh
 
 
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> None:
+    """Initialize JAX multi-host execution (one process per host).
+
+    Call before any other JAX API on every host of the pod slice; afterwards
+    `jax.devices()` spans all hosts and `make_ba_mesh` lays the (dp, mp) mesh
+    over the global device set so the Schur-reduction `psum`s ride ICI within
+    a slice and DCN across slices. On single-host TPU or with the
+    `xla_force_host_platform_device_count` test mesh this is a no-op.
+
+    Args mirror `jax.distributed.initialize` (auto-detected on Cloud TPU).
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def make_ba_mesh(n_devices: int | None = None, dp: int | None = None,
                  mp: int | None = None, devices=None) -> Mesh:
     """A (dp, mp) mesh over the available devices.

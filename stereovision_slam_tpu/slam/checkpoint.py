@@ -70,7 +70,9 @@ def load_checkpoint(vo, path: str) -> None:
     data = np.load(path)
     meta = json.loads(bytes(data["meta_json"]).decode())
     if meta["version"] != FORMAT_VERSION:
-        raise ValueError(f"checkpoint version {meta['version']} unsupported")
+        from stereovision_slam_tpu.utils.exceptions import CheckpointError
+        raise CheckpointError(
+            f"checkpoint version {meta['version']} unsupported")
 
     ms_kwargs = {name.split(".", 1)[1]: jnp.asarray(data[name])
                  for name in data.files if name.startswith("ms.")}

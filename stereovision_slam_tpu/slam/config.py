@@ -80,6 +80,10 @@ class SlamConfig:
 
     @staticmethod
     def from_yaml(path: str) -> "SlamConfig":
+        import os
+        from stereovision_slam_tpu.utils.exceptions import ConfigError
+        if not os.path.exists(path):
+            raise ConfigError(f"config file not found: {path}")
         with open(path) as f:
             text = f.read()
         # tolerate the OpenCV FileStorage "%YAML:1.0" directive
