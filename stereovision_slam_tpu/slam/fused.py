@@ -157,7 +157,7 @@ class FusedVisualOdometry:
     """Streaming host wrapper: enqueue frames with zero per-frame syncs."""
 
     def __init__(self, cfg: SlamConfig, dataset, max_total_keyframes: int = 4096,
-                 max_total_landmarks: int = 1 << 16):
+                 max_total_landmarks: int = 1 << 17):
         self.cfg = cfg
         self.dataset = dataset
         self.Tmax = max_total_keyframes
