@@ -125,6 +125,14 @@ class VisualOdometry:
         if (num_inliers < cfg.num_features_needed_for_keyframe
                 and self.status != fe.FrontendStatus.LOST):
             self._insert_keyframe(frame)
+        elif self.status == fe.FrontendStatus.LOST:
+            # relocalization — the reference's Frontend::Reset is an
+            # unimplemented stub (frontend.cpp:723-731); here a lost frame
+            # attempts descriptor matching + PnP against the last keyframe's
+            # landmarks, and on success re-anchors and rebuilds features
+            if self._relocalize(frame):
+                self._insert_keyframe(frame)
+                self.status = fe.FrontendStatus.TRACKING_BAD
 
         self.frame_count = frame.frame_id + 1
 
@@ -147,6 +155,7 @@ class VisualOdometry:
             self._register_keyframe(frame.frame_id)
             self.status = fe.FrontendStatus.TRACKING_GOOD
             self._notify_backend()
+            self._snapshot_for_reloc()
         # else: stay INITING, retry next frame (map unchanged on failure is
         # acceptable: landmarks added by the failed attempt are orphaned but
         # the attempt rarely fails twice; reference behaves the same way by
@@ -168,12 +177,60 @@ class VisualOdometry:
         self._register_keyframe(frame.frame_id)
         self._archive_eviction(ev)
         self._notify_backend()
+        self._snapshot_for_reloc()
         if self.loop_closure is not None:
             self.loop_closure.add_keyframe(self, frame)
         if self.viewer is not None:
             self.viewer.update_map(self)
 
     # ------------------------------------------------------------------ #
+
+    def _snapshot_for_reloc(self) -> None:
+        """Store the new keyframe's descriptors + landmark snapshot so a
+        later LOST frame can relocalize against it."""
+        from stereovision_slam_tpu.ops import descriptors
+        fs, ms = self.fs, self.ms
+        desc, ok = descriptors.compute(fs.pyr[0], fs.feat_uv, fs.feat_valid)
+        safe = jnp.clip(fs.feat_lm, 0, ms.lm_pos.shape[0] - 1)
+        lm_has = fs.feat_valid & (fs.feat_lm >= 0) & ms.lm_valid[safe]
+        self._reloc = {
+            "desc": desc, "ok": ok,
+            "lm_pos": ms.lm_pos[safe], "lm_has": lm_has,
+        }
+
+    def _relocalize(self, frame) -> bool:
+        """PnP against the last keyframe's landmarks via descriptor matching.
+        Returns True when a confident pose was recovered (and set)."""
+        if getattr(self, "_reloc", None) is None:
+            return False
+        from stereovision_slam_tpu.ops import descriptors, gftt
+        from stereovision_slam_tpu.slam.pnp import pnp_ransac
+        cfg = self.cfg
+        left = self.fs.pyr[0]  # current frame (track_step already ran)
+        pts, valid, _ = gftt.detect(left, max_corners=cfg.max_features,
+                                    quality_level=cfg.gftt_quality_level,
+                                    min_distance=cfg.gftt_min_distance)
+        desc, ok = descriptors.compute(left, pts, valid)
+        r = self._reloc
+        from stereovision_slam_tpu.slam.loop_closure import _match_and_count
+        idx, usable, n_match = _match_and_count(
+            r["desc"], r["ok"], desc, ok, r["lm_has"])
+        if int(n_match) < 10:
+            return False
+        T_new, inl, n_in = pnp_ransac(
+            self.cam_left, r["lm_pos"], pts[idx], usable,
+            jax.random.PRNGKey(frame.frame_id), reproj_threshold=5.991,
+            num_hypotheses=256)
+        if int(n_in) < 10:
+            return False
+        self.fs = self.fs._replace(T_cur=T_new,
+                                   T_rel=jnp.asarray(se3.se3_identity()),
+                                   feat_valid=jnp.zeros_like(self.fs.feat_valid),
+                                   feat_lm=jnp.full_like(self.fs.feat_lm, -1))
+        if self.viewer is not None:
+            self.viewer.log_info("Frontend: relocalized after tracking loss",
+                                 "frontend")
+        return True
 
     def _register_keyframe(self, frame_id: int) -> None:
         pose = np.asarray(self.fs.T_cur)
