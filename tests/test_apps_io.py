@@ -136,3 +136,21 @@ def test_config_yaml_roundtrip(tmp_path):
     # reference config files parse
     ref = SlamConfig.from_yaml(os.path.join(REPO, "configs", "config-00.yaml"))
     assert ref.min_num_acceptable_keypoint_match == 20
+
+
+def test_all_sequence_configs_parse():
+    from stereovision_slam_tpu.slam.config import SlamConfig
+    import glob
+    paths = sorted(glob.glob(os.path.join(REPO, "configs", "config-*.yaml")))
+    assert len(paths) >= 9
+    for p in paths:
+        cfg = SlamConfig.from_yaml(p)
+        seq = os.path.basename(p).split("-")[1].split(".")[0]
+        assert cfg.dataset_dir.endswith(f"sequences/{seq}")
+    # spot-check reference per-sequence overrides
+    c09 = SlamConfig.from_yaml(os.path.join(REPO, "configs", "config-09.yaml"))
+    assert c09.num_features == 200 and c09.num_features_init == 100
+    assert c09.max_pose_differnece_between_old_new == 150
+    c07 = SlamConfig.from_yaml(os.path.join(REPO, "configs", "config-07.yaml"))
+    assert c07.potential_loop_strong_threshold == 0.93
+    assert c07.max_pose_distance_between_loop_keyframes == 30
