@@ -11,9 +11,10 @@ binary PCD (:212-237).
 Redesigns:
   * cv::StereoBM -> the batched SAD cost volume in ops/stereo_bm.py;
   * PCL StatisticalOutlierRemoval (k-NN mean distance, meanK 50, sigma 1.0)
-    -> a voxel-occupancy density filter: points whose 3x3x3 voxel
-    neighborhood holds too few points are dropped. Same intent (isolated
-    speckle removal), O(N) instead of a k-d tree, and it vectorizes;
+    -> ops/sor.py: brute-force k-NN as chunked pairwise-distance matmuls
+    on the MXU instead of a k-d tree (same meanK/sigma semantics). A faster
+    O(N) voxel-density approximation remains available
+    (outlier_filter='density');
   * VoxelGrid downsample (leaf 0.02 m) -> hash-based first-point-per-voxel
     selection in numpy (host-side; this is an offline tool).
 """
@@ -29,6 +30,7 @@ import numpy as np
 
 from stereovision_slam_tpu.geometry import se3
 from stereovision_slam_tpu.io import pcd
+from stereovision_slam_tpu.ops.sor import statistical_outlier_removal
 from stereovision_slam_tpu.ops.stereo_bm import compute_disparity
 from stereovision_slam_tpu.slam.outputs import load_keyframes_file
 
@@ -95,6 +97,13 @@ class DenseReconstructionConfig:
     min_depth: float = 1.0
     max_depth: float = 150.0
     voxel_leaf: float = 0.02
+    # outlier filter: 'statistical' = PCL SOR semantics (meanK/sigma,
+    # dense_reconstruction.cpp:175-200); 'density' = fast voxel approximation
+    outlier_filter: str = "statistical"
+    sor_mean_k: int = 50
+    sor_std_ratio: float = 1.0
+    sor_max_ref: int = 16384   # neighbor-search subsample cap
+    sor_chunk: int = 1024      # queries per distance-matrix tile
     density_voxel: float = 0.15
     density_min_neighbors: int = 5
 
@@ -165,9 +174,17 @@ class DenseReconstruction:
         pts_np = np.asarray(pts)[ok_np]
         cols_np = colors_img.reshape(-1, 3)[ok_np]
 
-        keep = density_filter(pts_np, cfg.density_voxel,
-                              cfg.density_min_neighbors)
+        keep = self._outlier_keep_mask(pts_np)
         return pts_np[keep], cols_np[keep]
+
+    def _outlier_keep_mask(self, points: np.ndarray) -> np.ndarray:
+        cfg = self.cfg
+        if cfg.outlier_filter == "density":
+            return density_filter(points, cfg.density_voxel,
+                                  cfg.density_min_neighbors)
+        return statistical_outlier_removal(
+            points, mean_k=cfg.sor_mean_k, std_ratio=cfg.sor_std_ratio,
+            max_ref=cfg.sor_max_ref, chunk=cfg.sor_chunk)
 
     def dense_reconstruct(self, output_path: str | None = None,
                           max_keyframes: int | None = None):
@@ -186,8 +203,7 @@ class DenseReconstruction:
         else:
             points = np.concatenate(all_pts)
             colors = np.concatenate(all_cols)
-            keep = density_filter(points, self.cfg.density_voxel,
-                                  self.cfg.density_min_neighbors)
+            keep = self._outlier_keep_mask(points)
             points, colors = points[keep], colors[keep]
             points, colors = voxel_downsample(points, colors,
                                               self.cfg.voxel_leaf)

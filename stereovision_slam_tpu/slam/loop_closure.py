@@ -21,11 +21,12 @@ in the reference reduces to one rigid world transform because every active
 pose receives the same correction); cooldown of `keyframes_to_ignore_after_
 loop` (:182-198); shutdown PGO with consecutive + loop edges (:641-799).
 
-Deviation (documented): matched duplicate landmarks are NOT merged into the
-loop keyframe's landmarks (loopclosure.cpp:531-574) — the loop landmark is
-almost always archived (evicted >20 keyframes ago), and resurrecting archived
-slots buys little before PGO; the pose correction and the loop edge carry the
-information. Revisit if duplicate landmarks measurably hurt BA.
+Duplicate-landmark merge (loopclosure.cpp:531-574): after the rigid
+correction, every matched current feature is re-pointed at the loop
+keyframe's established landmark via `map_state.merge_loop_landmarks` —
+linked duplicates are rewritten in place (the drifted copy's id disappears),
+unlinked features get the loop landmark inserted + linked, so subsequent BA
+constrains against loop-consistent geometry.
 """
 
 from __future__ import annotations
@@ -56,6 +57,8 @@ class ProcessedKeyframe:
     feat_uv: np.ndarray          # (F, 2)
     lm_pos: np.ndarray           # (F, 3) landmark snapshot per feature
     lm_has: np.ndarray           # (F,)
+    lm_id: np.ndarray            # (F,) global landmark id per feature
+    lm_first_kf: np.ndarray      # (F,) first-observer keyframe id
     pose: np.ndarray             # (3, 4) pose at processing time
 
 
@@ -150,6 +153,8 @@ class LoopClosure:
             desc=np.asarray(desc), desc_ok=np.asarray(ok),
             feat_uv=np.asarray(fs.feat_uv),
             lm_pos=np.asarray(lm_pos), lm_has=np.asarray(lm_has),
+            lm_id=np.asarray(ms.lm_id[safe]),
+            lm_first_kf=np.asarray(ms.lm_first_kf[safe]),
             pose=np.asarray(fs.T_cur),
         )
 
@@ -218,6 +223,16 @@ class LoopClosure:
             if entry.kf_id in vo.archived_keyframes:
                 vo.archived_keyframes[entry.kf_id].pose = np.asarray(new_T_cur)
             entry.pose = np.asarray(new_T_cur)
+            # merge duplicate landmarks against the loop keyframe's
+            # (loopclosure.cpp:531-574); candidate snapshots are already in
+            # the loop-consistent world frame the correction moved us into
+            kf_slot = jnp.argmax(jnp.where(vo.ms.kf_valid, vo.ms.kf_id, -1))
+            vo.ms, new_feat_lm = mapmod.merge_loop_landmarks(
+                vo.ms, vo.fs.feat_lm, vo.fs.feat_valid, kf_slot, idx,
+                usable & inliers,  # RANSAC-verified matches only
+                jnp.asarray(cand.lm_pos), jnp.asarray(cand.lm_id),
+                jnp.asarray(cand.lm_first_kf))
+            vo.fs = vo.fs._replace(feat_lm=new_feat_lm)
 
     # ------------------------------------------------------------------ #
 

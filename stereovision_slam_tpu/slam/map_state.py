@@ -244,6 +244,83 @@ def add_landmarks(m: MapState, positions: jax.Array, create: jax.Array,
     return m, jnp.where(ok, slots, -1)
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def merge_loop_landmarks(m: MapState, feat_lm: jax.Array,
+                         feat_valid: jax.Array, kf_slot: jax.Array,
+                         match_idx: jax.Array, usable: jax.Array,
+                         cand_lm_pos: jax.Array, cand_lm_id: jax.Array,
+                         cand_lm_first: jax.Array):
+    """Duplicate-landmark merge during loop fusion (loopclosure.cpp:531-574).
+
+    For each good match (loop-candidate feature i -> current feature
+    j = match_idx[i], usable[i]), the loop keyframe's established landmark
+    replaces the current keyframe's drifted duplicate:
+
+      * current feature already links a landmark -> that slot is rewritten in
+        place to BE the loop landmark (position, global id, first observer);
+        the duplicate's id disappears from the map, exactly the reference's
+        feature->map_point_ relink;
+      * current feature has no landmark -> the loop landmark is inserted into
+        a free slot and linked to both the feature and the newest keyframe's
+        observation row (reference's SetMapPoint + AddObservation path).
+
+    The caller must apply this AFTER the rigid pose correction: the candidate
+    snapshot positions are already expressed in the loop-consistent world
+    frame.
+
+    Args:
+      feat_lm / feat_valid: (F,) current frontend feature->landmark links.
+      kf_slot: scalar — window slot of the newest (current) keyframe.
+      match_idx: (Fc,) current-feature index per candidate feature.
+      usable: (Fc,) bool — good match with a candidate landmark.
+      cand_lm_pos/cand_lm_id/cand_lm_first: (Fc, 3)/(Fc,)/(Fc,) candidate
+        landmark snapshots.
+
+    Returns:
+      (new_map, new_feat_lm)
+    """
+    L = m.lm_valid.shape[0]
+    F = feat_lm.shape[0]
+
+    # scatter candidate landmark data onto current-feature slots
+    tgt = jnp.where(usable, match_idx, F)
+    m_pos = jnp.zeros((F, 3), m.lm_pos.dtype).at[tgt].set(
+        cand_lm_pos, mode="drop")
+    m_id = jnp.full((F,), -1, jnp.int32).at[tgt].set(cand_lm_id, mode="drop")
+    m_first = jnp.full((F,), -1, jnp.int32).at[tgt].set(
+        cand_lm_first, mode="drop")
+    m_has = jnp.zeros((F,), bool).at[tgt].set(True, mode="drop") & feat_valid
+
+    # case A: rewrite the linked slot in place (duplicate -> loop landmark)
+    repl = m_has & (feat_lm >= 0)
+    slot_a = jnp.where(repl, feat_lm, L)
+    m = m._replace(
+        lm_pos=m.lm_pos.at[slot_a].set(m_pos, mode="drop"),
+        lm_id=m.lm_id.at[slot_a].set(m_id, mode="drop"),
+        lm_first_kf=m.lm_first_kf.at[slot_a].set(m_first, mode="drop"),
+    )
+
+    # case B: insert the loop landmark and link it to the unlinked feature
+    ins = m_has & (feat_lm < 0)
+    free_slots = jnp.nonzero(~m.lm_valid, size=F, fill_value=-1)[0]
+    order = jnp.cumsum(ins.astype(jnp.int32)) - 1
+    slots = jnp.where(ins, free_slots[jnp.clip(order, 0, F - 1)], -1)
+    ok = ins & (slots >= 0)
+    safe = jnp.where(ok, slots, L)
+    has_r = m.obs_has_r[kf_slot]
+    contrib = jnp.where(ok, 1 + has_r.astype(jnp.int32), 0)
+    m = m._replace(
+        lm_pos=m.lm_pos.at[safe].set(m_pos, mode="drop"),
+        lm_valid=m.lm_valid.at[safe].set(True, mode="drop"),
+        lm_id=m.lm_id.at[safe].set(m_id, mode="drop"),
+        lm_first_kf=m.lm_first_kf.at[safe].set(m_first, mode="drop"),
+        lm_obs_count=m.lm_obs_count.at[safe].set(contrib, mode="drop"),
+        obs_lm=m.obs_lm.at[kf_slot].set(
+            jnp.where(ok, slots, m.obs_lm[kf_slot])),
+    )
+    return m, jnp.where(ok, slots, feat_lm)
+
+
 def active_counts(m: MapState):
     """(num keyframes, num landmarks) in the active window."""
     return jnp.sum(m.kf_valid), jnp.sum(m.lm_valid)

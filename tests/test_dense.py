@@ -123,3 +123,36 @@ def test_dense_reconstruction_end_to_end(tmp_path):
     pts2, cols2 = read_pcd(os.path.join(out_dir, "dense_pointcloud.pcd"))
     assert len(pts2) == len(points)
     assert cols2 is not None
+
+
+def test_statistical_outlier_removal_drops_isolated_points():
+    from stereovision_slam_tpu.ops.sor import statistical_outlier_removal
+    rng = np.random.default_rng(3)
+    cluster = rng.normal(0.0, 0.5, (2000, 3)).astype(np.float32)
+    outliers = np.array([[50., 0., 0.], [0., 80., 0.], [-60., -60., 20.]],
+                        np.float32)
+    pts = np.concatenate([cluster, outliers])
+    keep = statistical_outlier_removal(pts, mean_k=50, std_ratio=1.0)
+    assert not keep[-3:].any(), "isolated far points must be dropped"
+    assert keep[:-3].mean() > 0.6, "the bulk of the cluster must survive"
+
+
+def test_statistical_outlier_removal_subsampled_ref():
+    """With N > max_ref the neighbor set is subsampled; the relative
+    threshold must still separate speckle from the cluster."""
+    from stereovision_slam_tpu.ops.sor import statistical_outlier_removal
+    rng = np.random.default_rng(4)
+    cluster = rng.normal(0.0, 1.0, (5000, 3)).astype(np.float32)
+    outliers = rng.uniform(100, 200, (20, 3)).astype(np.float32)
+    pts = np.concatenate([cluster, outliers])
+    keep = statistical_outlier_removal(pts, mean_k=20, std_ratio=1.0,
+                                       max_ref=1024, chunk=512)
+    assert not keep[-20:].any()
+    assert keep[:-20].mean() > 0.6
+
+
+def test_statistical_outlier_removal_tiny_inputs():
+    from stereovision_slam_tpu.ops.sor import statistical_outlier_removal
+    assert statistical_outlier_removal(np.zeros((0, 3))).shape == (0,)
+    one = statistical_outlier_removal(np.zeros((1, 3)))
+    assert one.shape == (1,) and one.all()

@@ -55,7 +55,10 @@ def make_entry(kf_id, embedding, pose=None, n_feat=32, seed=0):
         desc=desc, desc_ok=ok,
         feat_uv=rng.uniform(0, 300, (F, 2)).astype(np.float32),
         lm_pos=rng.uniform(-5, 5, (F, 3)).astype(np.float32),
-        lm_has=ok.copy(), pose=np.asarray(pose, np.float32))
+        lm_has=ok.copy(),
+        lm_id=np.where(ok, np.arange(F), -1).astype(np.int32),
+        lm_first_kf=np.where(ok, kf_id, -1).astype(np.int32),
+        pose=np.asarray(pose, np.float32))
 
 
 def unit_vec(seed, d=1280):
@@ -117,7 +120,11 @@ def test_full_closure_updates_map_and_records_edge():
         desc=np.asarray(d0), desc_ok=np.asarray(ok0),
         feat_uv=np.asarray(uv0_pad),
         lm_pos=np.asarray(jnp.zeros((F, 3)).at[:n].set(lms)),
-        lm_has=np.asarray(valid_pad), pose=np.asarray(se3.se3_identity()))
+        lm_has=np.asarray(valid_pad),
+        lm_id=np.where(np.asarray(valid_pad), 1000 + np.arange(F), -1
+                       ).astype(np.int32),
+        lm_first_kf=np.where(np.asarray(valid_pad), 0, -1).astype(np.int32),
+        pose=np.asarray(se3.se3_identity()))
     lc.db[0] = cand
 
     # --- current keyframe 30: true pose = small offset from kf0, but the
@@ -159,6 +166,7 @@ def test_full_closure_updates_map_and_records_edge():
         desc=np.asarray(d1), desc_ok=np.asarray(ok1),
         feat_uv=np.asarray(uv1_pad),
         lm_pos=np.asarray(jnp.zeros((F, 3))), lm_has=np.zeros(F, bool),
+        lm_id=np.full(F, -1, np.int32), lm_first_kf=np.full(F, -1, np.int32),
         pose=np.asarray(T_drift))
 
     lc._attempt_closure(vo, entry, cand)
@@ -171,6 +179,11 @@ def test_full_closure_updates_map_and_records_edge():
     # active landmarks moved back to (approximately) true world positions
     lm_now = np.asarray(vo.ms.lm_pos[np.asarray(slots[:n])])
     np.testing.assert_allclose(lm_now, np.asarray(lms), atol=0.3)
+    # duplicate merge: most matched features' slots now carry the LOOP
+    # keyframe's landmark identities (ids 1000+) and exact positions
+    ids_now = np.asarray(vo.ms.lm_id[np.asarray(slots[:n])])
+    n_merged = int(np.sum(ids_now >= 1000))
+    assert n_merged >= 11, f"only {n_merged} duplicates merged"
 
 
 def test_shutdown_pgo_via_stop():

@@ -114,3 +114,61 @@ def test_landmark_table_full_graceful():
     m, slots = mapmod.add_landmarks(m, pos, create, jnp.asarray(0))
     assert int(jnp.sum(slots >= 0)) == 4  # only 4 slots existed
     assert int(jnp.sum(m.lm_valid)) == 4
+
+
+def test_merge_loop_landmarks_replace_and_insert():
+    """Case A: a matched feature with a landmark gets its slot rewritten to
+    the loop landmark (pos + id + first-kf). Case B: a matched feature
+    without a landmark gets the loop landmark inserted and linked."""
+    m = mapmod.empty_map(K, F, L)
+    pos = jnp.arange(F * 3, dtype=jnp.float32).reshape(F, 3)
+    create = jnp.zeros((F,), bool).at[:3].set(True)
+    m, slots = mapmod.add_landmarks(m, pos, create, jnp.asarray(7))
+    s = np.asarray(slots[:3])
+
+    # newest keyframe in slot 0, features 0..3 valid; 0-2 linked, 3 unlinked
+    feat_lm = jnp.full((F,), -1, jnp.int32).at[0].set(int(s[0])) \
+        .at[1].set(int(s[1])).at[2].set(int(s[2]))
+    feat_valid = jnp.zeros((F,), bool).at[:4].set(True)
+    uv = jnp.zeros((F, 2))
+    m, _ = mapmod.insert_keyframe(m, se3.se3_identity(), jnp.asarray(9),
+                                  jnp.asarray(9), uv, uv, feat_lm,
+                                  jnp.zeros((F,), bool).at[3].set(True),
+                                  feat_valid, num_active=4)
+    kf_slot = jnp.argmax(jnp.where(m.kf_valid, m.kf_id, -1))
+
+    # candidate: feature 0 matches current feature 0 (linked -> replace),
+    # feature 1 matches current feature 3 (unlinked -> insert+link)
+    match_idx = jnp.zeros((F,), jnp.int32).at[1].set(3)
+    usable = jnp.zeros((F,), bool).at[0].set(True).at[1].set(True)
+    cand_pos = jnp.zeros((F, 3)).at[0].set(jnp.array([10., 11., 12.])) \
+        .at[1].set(jnp.array([20., 21., 22.]))
+    cand_id = jnp.full((F,), -1, jnp.int32).at[0].set(100).at[1].set(101)
+    cand_first = jnp.full((F,), -1, jnp.int32).at[0].set(2).at[1].set(3)
+
+    m2, new_feat_lm = mapmod.merge_loop_landmarks(
+        m, feat_lm, feat_valid, kf_slot, match_idx, usable,
+        cand_pos, cand_id, cand_first)
+
+    # case A: slot s[0] now IS loop landmark 100
+    np.testing.assert_allclose(np.asarray(m2.lm_pos[s[0]]), [10., 11., 12.])
+    assert int(m2.lm_id[s[0]]) == 100
+    assert int(m2.lm_first_kf[s[0]]) == 2
+    assert int(new_feat_lm[0]) == int(s[0])  # link unchanged
+    # untouched landmarks keep their data
+    assert int(m2.lm_id[s[1]]) == 1 and int(m2.lm_id[s[2]]) == 2
+
+    # case B: feature 3 linked to a fresh slot holding loop landmark 101
+    s_new = int(new_feat_lm[3])
+    assert s_new >= 0 and s_new not in s.tolist()
+    assert bool(m2.lm_valid[s_new])
+    np.testing.assert_allclose(np.asarray(m2.lm_pos[s_new]), [20., 21., 22.])
+    assert int(m2.lm_id[s_new]) == 101
+    assert int(m2.lm_first_kf[s_new]) == 3
+    # observation row of the newest keyframe points at the new slot
+    assert int(m2.obs_lm[kf_slot, 3]) == s_new
+    # only the left observation counts: the insert masked obs_has_r to
+    # linked features, so the unlinked feature's right track was not kept
+    assert int(m2.lm_obs_count[s_new]) == 1
+    # unmatched features untouched
+    assert int(new_feat_lm[2]) == int(s[2])
