@@ -75,15 +75,25 @@ def _robust_chi2_local(cam_obs, kf_pose, lm_pos, obs, huber_d2):
 
 
 def build_sharded_ba(mesh: Mesh, K: int, F: int, L: int,
-                     chi2_th: float = 5.991, iters: int = 10):
+                     chi2_th: float = 5.991, iters: int = 10,
+                     reduce_impl: str = "xla"):
     """Build a jitted distributed BA step for the given mesh and capacities.
 
     Returns a function (map_state, cam_left, cam_right) -> (kf_pose, lm_pos)
     of refined poses/landmarks. M = 2*K*F observations are padded to a
     multiple of the dp axis; L must divide by the mp axis.
+
+    reduce_impl selects the dp-axis Schur reduction:
+      'xla'  — lax.psum per block (XLA's fused ICI collective, default);
+      'ring' — one fused Pallas ring all-reduce over RDMA for all five
+               normal-equation blocks (parallel/ring_reduce.py); runs in the
+               Pallas TPU interpreter on non-TPU backends. The small mp-axis
+               Schur psum stays XLA either way (latency-bound tiny payload).
     """
     n_dp = mesh.shape["dp"]
     n_mp = mesh.shape["mp"]
+    mesh_axes = tuple((name, mesh.shape[name]) for name in mesh.axis_names)
+    ring_interpret = jax.default_backend() != "tpu"
     M = 2 * K * F
     assert M % n_dp == 0, f"obs count {M} not divisible by dp={n_dp}"
     assert L % n_mp == 0, f"landmark table {L} not divisible by mp={n_mp}"
@@ -107,11 +117,17 @@ def build_sharded_ba(mesh: Mesh, K: int, F: int, L: int,
             H_pp, b_p, H_ll, b_l, G = _local_blocks(
                 cam_obs, kf_pose, lm_pos, obs, huber_d2, K, L)
             # --- Schur reduction over ICI ---
-            H_pp = lax.psum(H_pp, "dp")
-            b_p = lax.psum(b_p, "dp")
-            H_ll = lax.psum(H_ll, "dp")
-            b_l = lax.psum(b_l, "dp")
-            G = lax.psum(G, "dp")
+            if reduce_impl == "ring":
+                from stereovision_slam_tpu.parallel.ring_reduce import ring_psum
+                H_pp, b_p, H_ll, b_l, G = ring_psum(
+                    (H_pp, b_p, H_ll, b_l, G), "dp", mesh_axes,
+                    interpret=ring_interpret)
+            else:
+                H_pp = lax.psum(H_pp, "dp")
+                b_p = lax.psum(b_p, "dp")
+                H_ll = lax.psum(H_ll, "dp")
+                b_l = lax.psum(b_l, "dp")
+                G = lax.psum(G, "dp")
 
             # free poses: active (nonzero Hessian) minus the gauge-fixed
             # oldest keyframe (mask supplied by the caller)
