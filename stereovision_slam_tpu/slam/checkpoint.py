@@ -39,8 +39,28 @@ def save_checkpoint(vo, path: str) -> None:
     for i, level in enumerate(fs.ref_pyr):
         arrays[f"fs.ref_pyr.{i}"] = np.asarray(level)
 
+    lc_meta = None
+    lc = getattr(vo, "loop_closure", None)
+    if lc is not None:
+        lc_meta = {
+            "entries": [],
+            "loop_edges": [
+                {"kf_id": e.kf_id, "loop_kf_id": e.loop_kf_id,
+                 "relative_pose": np.asarray(e.relative_pose).tolist()}
+                for e in lc.loop_edges],
+            "last_closed_kf_id": lc.last_closed_kf_id,
+            "last_deep_score": lc.last_deep_score,
+        }
+        for kf_id, p in lc.db.items():
+            lc_meta["entries"].append(
+                {"kf_id": p.kf_id, "frame_id": p.frame_id})
+            for field in ("embedding", "desc", "desc_ok", "feat_uv",
+                          "lm_pos", "lm_has", "lm_id", "lm_first_kf", "pose"):
+                arrays[f"lc.{kf_id}.{field}"] = np.asarray(getattr(p, field))
+
     meta = {
         "version": FORMAT_VERSION,
+        "lc": lc_meta,
         "status": vo.status.name,
         "kf_count": vo.kf_count,
         "frame_count": vo.frame_count,
@@ -109,3 +129,24 @@ def load_checkpoint(vo, path: str) -> None:
     vo.archived_landmark_first_kf = {
         int(k): int(v) for k, v in meta["landmark_first_kf"].items()}
     vo.inlier_history = list(meta["inlier_history"])
+
+    lc = getattr(vo, "loop_closure", None)
+    lc_meta = meta.get("lc")
+    if lc is not None and lc_meta is not None:
+        from stereovision_slam_tpu.slam.loop_closure import (
+            LoopEdge, ProcessedKeyframe)
+        lc.db = {}
+        for ent in lc_meta["entries"]:
+            kf_id = ent["kf_id"]
+            fields = {f: data[f"lc.{kf_id}.{f}"]
+                      for f in ("embedding", "desc", "desc_ok", "feat_uv",
+                                "lm_pos", "lm_has", "lm_id", "lm_first_kf",
+                                "pose")}
+            lc.db[kf_id] = ProcessedKeyframe(
+                kf_id=kf_id, frame_id=ent["frame_id"], **fields)
+        lc.loop_edges = [
+            LoopEdge(kf_id=e["kf_id"], loop_kf_id=e["loop_kf_id"],
+                     relative_pose=np.asarray(e["relative_pose"], np.float32))
+            for e in lc_meta["loop_edges"]]
+        lc.last_closed_kf_id = lc_meta["last_closed_kf_id"]
+        lc.last_deep_score = lc_meta["last_deep_score"]

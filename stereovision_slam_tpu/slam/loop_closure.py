@@ -112,6 +112,8 @@ class LoopClosure:
         self.params = mnv2.get_params(mnv2_weights_path) \
             if embedder == "mobilenet" else None
         self.db: dict[int, ProcessedKeyframe] = {}
+        self._emb_matrix: np.ndarray | None = None  # (N, 1280) scan cache
+        self._emb_ids: np.ndarray | None = None
         self.loop_edges: list[LoopEdge] = []
         self.last_closed_kf_id: int | None = None
         self.last_deep_score: float = 0.0
@@ -159,23 +161,33 @@ class LoopClosure:
         )
 
     def _find_candidate(self, entry) -> ProcessedKeyframe | None:
-        """Similarity scan with strong/weak gating (loopclosure.cpp:227-284)."""
+        """Similarity scan with strong/weak gating (loopclosure.cpp:227-284).
+
+        The reference's O(N) per-keyframe dot-product loop is one (N, 1280) x
+        (1280,) matvec over a cached embedding matrix (SURVEY.md §7 step 5)."""
         cfg = self.cfg
-        best_id, best_sim, weak = None, 0.0, 0
         skip = getattr(cfg, "keyframes_to_skip_in_candidate_search", 20)
-        for pid, p in self.db.items():
-            if entry.kf_id - pid < skip:  # skip recent (loopclosure.cpp:243-247)
-                continue
-            sim = float(np.dot(entry.embedding, p.embedding))
-            if sim > best_sim:
-                best_sim, best_id = sim, pid
-            if sim > cfg.potential_loop_weak_threshold:
-                weak += 1
-        self.last_deep_score = best_sim
+        ids = np.fromiter(self.db.keys(), np.int64, len(self.db))
+        eligible = ids[entry.kf_id - ids >= skip]  # loopclosure.cpp:243-247
+        if eligible.size == 0:
+            self.last_deep_score = 0.0
+            return None
+        if (self._emb_matrix is None
+                or self._emb_matrix.shape[0] != len(self.db)):
+            self._emb_matrix = np.stack(
+                [p.embedding for p in self.db.values()])
+            self._emb_ids = ids
+        mask = entry.kf_id - self._emb_ids >= skip
+        sims = self._emb_matrix @ entry.embedding
+        sims = np.where(mask, sims, -np.inf)
+        best = int(np.argmax(sims))
+        best_sim = float(sims[best])
+        weak = int(np.sum(sims > cfg.potential_loop_weak_threshold))
+        self.last_deep_score = max(best_sim, 0.0)
         if (best_sim < cfg.potential_loop_strong_threshold
                 or weak > cfg.max_num_weak_threshold):
             return None
-        return self.db[best_id]
+        return self.db[int(self._emb_ids[best])]
 
     def _attempt_closure(self, vo, entry, cand) -> None:
         cfg = self.cfg

@@ -83,3 +83,53 @@ def test_checkpoint_preserves_scalars(tmp_path):
                                np.asarray(vo.fs.T_cur), atol=0)
     np.testing.assert_allclose(np.asarray(vo2.ms.lm_pos),
                                np.asarray(vo.ms.lm_pos), atol=0)
+
+
+def test_checkpoint_roundtrips_loop_closure_state(tmp_path):
+    """The loop-closure database (embeddings, descriptors, landmark
+    snapshots), recorded loop edges, and cooldown survive a resume — so a
+    resumed run's shutdown PGO sees every loop found before the save."""
+    from stereovision_slam_tpu.slam.loop_closure import (
+        LoopClosure, LoopEdge, ProcessedKeyframe)
+    from stereovision_slam_tpu.slam.config import SlamConfig
+
+    data = make_dataset()
+    vo = run_full(data, steps=6)
+    rng = np.random.default_rng(0)
+    F = 32
+    lc = LoopClosure(SlamConfig(), vo.cam_left, embedder="thumbnail")
+    ok = np.zeros(F, bool); ok[:10] = True
+    lc.db[3] = ProcessedKeyframe(
+        kf_id=3, frame_id=9,
+        embedding=rng.normal(size=1280).astype(np.float32),
+        desc=rng.integers(0, 2**32, (F, 8), dtype=np.uint32),
+        desc_ok=ok, feat_uv=rng.uniform(0, 100, (F, 2)).astype(np.float32),
+        lm_pos=rng.normal(size=(F, 3)).astype(np.float32), lm_has=ok.copy(),
+        lm_id=np.where(ok, np.arange(F), -1).astype(np.int32),
+        lm_first_kf=np.where(ok, 1, -1).astype(np.int32),
+        pose=np.eye(3, 4, dtype=np.float32))
+    lc.loop_edges.append(LoopEdge(
+        kf_id=8, loop_kf_id=3, relative_pose=np.eye(3, 4, dtype=np.float32)))
+    lc.last_closed_kf_id = 8
+    lc.last_deep_score = 0.97
+    vo.loop_closure = lc
+
+    ckpt = str(tmp_path / "lc.npz")
+    save_checkpoint(vo, ckpt)
+
+    vo2 = VisualOdometry(small_config(),
+                         ArraySequenceDataset(*data), backend=Backend())
+    vo2.initialize()
+    vo2.loop_closure = LoopClosure(SlamConfig(), vo.cam_left,
+                                   embedder="thumbnail")
+    load_checkpoint(vo2, ckpt)
+    lc2 = vo2.loop_closure
+    assert set(lc2.db.keys()) == {3}
+    p, q = lc.db[3], lc2.db[3]
+    for f in ("embedding", "desc", "desc_ok", "feat_uv", "lm_pos", "lm_has",
+              "lm_id", "lm_first_kf", "pose"):
+        np.testing.assert_array_equal(getattr(p, f), getattr(q, f))
+    assert q.frame_id == 9
+    assert len(lc2.loop_edges) == 1 and lc2.loop_edges[0].loop_kf_id == 3
+    assert lc2.last_closed_kf_id == 8
+    assert lc2.last_deep_score == 0.97
