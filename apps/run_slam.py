@@ -4,6 +4,10 @@
 Equivalent of the reference app
 (/root/reference/app/run_stereo_vision_SLAM.cpp): argv[1] is a YAML config
 path (reference-format keys), defaulting to configs/default.yaml.
+
+Beyond the reference: --platform cpu|tpu backend override,
+--checkpoint-every N (save full SLAM state every N frames), and
+--resume PATH (continue a checkpointed run exactly where it stopped).
 """
 
 import os
@@ -22,6 +26,15 @@ def main() -> int:
         del args[i:i + 2]
         import jax
         jax.config.update("jax_platforms", platform)
+    checkpoint_every, resume_path = 0, None
+    if "--checkpoint-every" in args:
+        i = args.index("--checkpoint-every")
+        checkpoint_every = int(args[i + 1])
+        del args[i:i + 2]
+    if "--resume" in args:
+        i = args.index("--resume")
+        resume_path = args[i + 1]
+        del args[i:i + 2]
     config_path = (args[0] if args else
                    os.path.join(os.path.dirname(__file__), "..", "configs",
                                 "default.yaml"))
@@ -54,7 +67,23 @@ def main() -> int:
     if cfg.loopclosure_on:
         vo.loop_closure = LoopClosure(cfg, vo.cam_left)
 
-    vo.run()
+    if resume_path:
+        from stereovision_slam_tpu.slam.checkpoint import load_checkpoint
+        load_checkpoint(vo, resume_path)
+        print(f"Resumed from {resume_path} at frame {vo.frame_count}")
+
+    if checkpoint_every > 0:
+        from stereovision_slam_tpu.slam.checkpoint import save_checkpoint
+        ckpt_path = os.path.join(cfg.output_dir or ".", "slam_checkpoint.npz")
+        os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
+        n = 0
+        while vo.step():
+            n += 1
+            if n % checkpoint_every == 0:
+                save_checkpoint(vo, ckpt_path)
+        vo.finish()
+    else:
+        vo.run()
     out = vo.save_output()
     print(f"SLAM finished: {len(vo.archived_keyframes)} keyframes, "
           f"{len(vo.archived_landmarks)} landmarks, {vo.fps():.2f} frames/s")

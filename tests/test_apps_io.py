@@ -154,3 +154,45 @@ def test_all_sequence_configs_parse():
     c07 = SlamConfig.from_yaml(os.path.join(REPO, "configs", "config-07.yaml"))
     assert c07.potential_loop_strong_threshold == 0.93
     assert c07.max_pose_distance_between_loop_keyframes == 30
+
+
+def test_run_slam_cli_checkpoint_resume(kitti_dir, tmp_path):
+    """--checkpoint-every writes a resumable state; --resume continues it."""
+    root, poses = kitti_dir
+    out_dir = tmp_path / "out2"
+    out_dir.mkdir()
+    cfg = f"""
+dataset_dir: {root}
+left_cam_index: 0
+right_cam_index: 1
+is_color_input: 0
+output_dir: {out_dir}
+num_features: 60
+num_features_init: 15
+num_features_tracking: 20
+num_features_tracking_bad: 8
+num_features_needed_for_keyframe: 50
+max_triangulation_depth: 300.0
+num_active_keyframes: 5
+backend_on: 1
+chi2_th: 5.991
+loopclosure_on: 0
+visualizer_on: 0
+"""
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(cfg)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    app = os.path.join(REPO, "apps", "run_slam.py")
+    proc = subprocess.run(
+        [sys.executable, app, str(cfg_path), "--checkpoint-every", "3"],
+        capture_output=True, text=True, timeout=400, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    ckpt = out_dir / "slam_checkpoint.npz"
+    assert ckpt.exists(), "checkpoint file missing"
+
+    proc2 = subprocess.run(
+        [sys.executable, app, str(cfg_path), "--resume", str(ckpt)],
+        capture_output=True, text=True, timeout=400, env=env)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "Resumed from" in proc2.stdout
+    assert "SLAM finished" in proc2.stdout
