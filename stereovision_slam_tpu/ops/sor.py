@@ -32,15 +32,20 @@ def _mean_knn_chunk(q: jax.Array, ref: jax.Array, k: int) -> jax.Array:
 
     One (C, 3) query chunk against a fixed (R, 3) reference set — compiled
     once per (C, R, k); the host loops chunks so arbitrary cloud sizes don't
-    trigger recompiles. The closest hit (distance ~0 when the query is in
-    `ref`) is dropped as "self".
+    trigger recompiles. A zero-distance hit (the query itself, when it is in
+    `ref`) is dropped as "self"; queries NOT in the reference set keep their
+    true 1..k neighbors by dropping the (k+1)-th instead — so subsampled
+    reference sets introduce no in-sample/out-of-sample asymmetry.
     """
     r2 = jnp.sum(ref * ref, axis=1)
     q2 = jnp.sum(q * q, axis=1)
     d2 = q2[:, None] + r2[None, :] - 2.0 * (q @ ref.T)
     d2 = jnp.maximum(d2, 0.0)
     neg, _ = jax.lax.top_k(-d2, k + 1)
-    return jnp.mean(jnp.sqrt(-neg[:, 1:]), axis=1)
+    d = jnp.sqrt(-neg)              # ascending: d[:, 0] is the closest
+    is_self = d[:, 0] < 1e-6
+    drop = jnp.where(is_self, d[:, 0], d[:, k])
+    return (jnp.sum(d, axis=1) - drop) / k
 
 
 def statistical_outlier_removal(points: np.ndarray, mean_k: int = 50,
@@ -60,7 +65,7 @@ def statistical_outlier_removal(points: np.ndarray, mean_k: int = 50,
     if N == 0:
         return np.zeros((0,), bool)
     pts = np.asarray(points, np.float32)
-    k = min(mean_k, N - 1)
+    k = min(mean_k, N - 1, min(N, max_ref) - 1)
     if k < 1:
         return np.ones((N,), bool)
 
@@ -69,9 +74,6 @@ def statistical_outlier_removal(points: np.ndarray, mean_k: int = 50,
         ref = jnp.asarray(pts[sel])
     else:
         ref = jnp.asarray(pts)
-    # `_mean_knn_dist` drops the closest hit as "self"; when the query is not
-    # in the subsampled ref that discards its true nearest neighbor — a
-    # uniform one-rank shift that cancels in the relative threshold.
 
     nc = -(-N // chunk)
     pad = nc * chunk - N

@@ -125,6 +125,8 @@ def ring_all_reduce_flat(x: jax.Array, axis_name: str,
     """All-reduce a (R, 128) float array along a mesh axis. R must divide
     by 8 * axis_size (f32 sublane tiling per chunk). Call inside shard_map."""
     n = dict(mesh_axes)[axis_name]
+    if n == 1:
+        return x  # zero hops: the kernel's credit drain would hang
     R, C = x.shape
     assert C == 128 and R % (8 * n) == 0, (R, C, n)
     Rc = R // n
@@ -160,6 +162,8 @@ def ring_psum(tree, axis_name: str, mesh_axes, interpret: bool = False,
     """
     leaves, treedef = jax.tree.flatten(tree)
     n = dict(mesh_axes)[axis_name]
+    if n == 1:
+        return tree  # reduction over a singleton axis is the identity
     dtype = jnp.result_type(*leaves)
     sizes = [l.size for l in leaves]
     flat = jnp.concatenate([l.reshape(-1).astype(dtype) for l in leaves])

@@ -150,3 +150,4 @@ def load_checkpoint(vo, path: str) -> None:
             for e in lc_meta["loop_edges"]]
         lc.last_closed_kf_id = lc_meta["last_closed_kf_id"]
         lc.last_deep_score = lc_meta["last_deep_score"]
+        lc.invalidate_scan_cache()

@@ -112,8 +112,12 @@ class LoopClosure:
         self.params = mnv2.get_params(mnv2_weights_path) \
             if embedder == "mobilenet" else None
         self.db: dict[int, ProcessedKeyframe] = {}
-        self._emb_matrix: np.ndarray | None = None  # (N, 1280) scan cache
+        # similarity-scan cache: capacity-doubling (cap, 1280) matrix +
+        # parallel id vector, appended on insert (invalidate_scan_cache()
+        # rebuilds it from db after any wholesale db replacement)
+        self._emb_matrix: np.ndarray | None = None
         self._emb_ids: np.ndarray | None = None
+        self._emb_n = 0
         self.loop_edges: list[LoopEdge] = []
         self.last_closed_kf_id: int | None = None
         self.last_deep_score: float = 0.0
@@ -137,6 +141,32 @@ class LoopClosure:
         if candidate is not None:
             self._attempt_closure(vo, entry, candidate)
         self.db[kf_id] = entry
+        self._scan_cache_append(kf_id, entry.embedding)
+
+    # ------------------------------------------------------------------ #
+
+    def _scan_cache_append(self, kf_id: int, embedding: np.ndarray) -> None:
+        if self._emb_matrix is None:
+            cap = 256
+            self._emb_matrix = np.zeros((cap, embedding.shape[0]), np.float32)
+            self._emb_ids = np.full((cap,), -1, np.int64)
+        if self._emb_n == self._emb_matrix.shape[0]:
+            self._emb_matrix = np.concatenate(
+                [self._emb_matrix, np.zeros_like(self._emb_matrix)])
+            self._emb_ids = np.concatenate(
+                [self._emb_ids, np.full_like(self._emb_ids, -1)])
+        self._emb_matrix[self._emb_n] = embedding
+        self._emb_ids[self._emb_n] = kf_id
+        self._emb_n += 1
+
+    def invalidate_scan_cache(self) -> None:
+        """Rebuild the similarity cache from `db` (call after replacing the
+        database wholesale, e.g. on checkpoint restore)."""
+        self._emb_matrix = None
+        self._emb_ids = None
+        self._emb_n = 0
+        for kf_id, p in self.db.items():
+            self._scan_cache_append(kf_id, p.embedding)
 
     def _process(self, vo, frame, kf_id) -> ProcessedKeyframe:
         left = jnp.asarray(frame.left, jnp.float32)
@@ -167,18 +197,17 @@ class LoopClosure:
         (1280,) matvec over a cached embedding matrix (SURVEY.md §7 step 5)."""
         cfg = self.cfg
         skip = getattr(cfg, "keyframes_to_skip_in_candidate_search", 20)
-        ids = np.fromiter(self.db.keys(), np.int64, len(self.db))
-        eligible = ids[entry.kf_id - ids >= skip]  # loopclosure.cpp:243-247
-        if eligible.size == 0:
+        if self._emb_n != len(self.db):  # db replaced behind our back
+            self.invalidate_scan_cache()
+        if self._emb_n == 0:
             self.last_deep_score = 0.0
             return None
-        if (self._emb_matrix is None
-                or self._emb_matrix.shape[0] != len(self.db)):
-            self._emb_matrix = np.stack(
-                [p.embedding for p in self.db.values()])
-            self._emb_ids = ids
-        mask = entry.kf_id - self._emb_ids >= skip
-        sims = self._emb_matrix @ entry.embedding
+        emb, ids = self._emb_matrix[:self._emb_n], self._emb_ids[:self._emb_n]
+        mask = entry.kf_id - ids >= skip  # loopclosure.cpp:243-247
+        if not mask.any():
+            self.last_deep_score = 0.0
+            return None
+        sims = emb @ entry.embedding
         sims = np.where(mask, sims, -np.inf)
         best = int(np.argmax(sims))
         best_sim = float(sims[best])
@@ -187,7 +216,7 @@ class LoopClosure:
         if (best_sim < cfg.potential_loop_strong_threshold
                 or weak > cfg.max_num_weak_threshold):
             return None
-        return self.db[int(self._emb_ids[best])]
+        return self.db[int(ids[best])]
 
     def _attempt_closure(self, vo, entry, cand) -> None:
         cfg = self.cfg

@@ -254,15 +254,24 @@ def merge_loop_landmarks(m: MapState, feat_lm: jax.Array,
 
     For each good match (loop-candidate feature i -> current feature
     j = match_idx[i], usable[i]), the loop keyframe's established landmark
-    replaces the current keyframe's drifted duplicate:
+    replaces the current keyframe's drifted duplicate — three cases, in
+    priority order per feature:
 
-      * current feature already links a landmark -> that slot is rewritten in
-        place to BE the loop landmark (position, global id, first observer);
-        the duplicate's id disappears from the map, exactly the reference's
-        feature->map_point_ relink;
-      * current feature has no landmark -> the loop landmark is inserted into
-        a free slot and linked to both the feature and the newest keyframe's
-        observation row (reference's SetMapPoint + AddObservation path).
+      * the loop landmark is still ACTIVE in the table (tracked continuously
+        since the loop keyframe) -> the feature is relinked to that existing
+        slot (reference's relink to the existing map point); the previously
+        linked duplicate loses this observation and leaves the table if that
+        was its last one (it is a merged-away duplicate, not archived);
+      * loop landmark archived, feature has a landmark -> the linked slot is
+        rewritten in place to BE the loop landmark (position, global id,
+        first observer); the duplicate's id disappears from the map;
+      * loop landmark archived, feature unlinked -> the loop landmark is
+        inserted into a free slot and linked to both the feature and the
+        newest keyframe's observation row.
+
+    When several candidate features match the same current feature, only the
+    lowest-index candidate is used (targets are made unique so the pos/id/
+    first-kf scatters stay mutually consistent).
 
     The caller must apply this AFTER the rigid pose correction: the candidate
     snapshot positions are already expressed in the loop-consistent world
@@ -281,6 +290,16 @@ def merge_loop_landmarks(m: MapState, feat_lm: jax.Array,
     """
     L = m.lm_valid.shape[0]
     F = feat_lm.shape[0]
+    Fc = match_idx.shape[0]
+
+    # make targets unique: if several candidate features match the same
+    # current feature, keep only the lowest candidate index, so the three
+    # scatters below agree on the winner
+    idx_i = jnp.arange(Fc, dtype=jnp.int32)
+    tgt0 = jnp.where(usable, match_idx, F)
+    first_i = jnp.full((F + 1,), Fc, jnp.int32).at[tgt0].min(
+        jnp.where(usable, idx_i, Fc), mode="drop")
+    usable = usable & (first_i[jnp.clip(tgt0, 0, F)] == idx_i)
 
     # scatter candidate landmark data onto current-feature slots
     tgt = jnp.where(usable, match_idx, F)
@@ -290,9 +309,32 @@ def merge_loop_landmarks(m: MapState, feat_lm: jax.Array,
     m_first = jnp.full((F,), -1, jnp.int32).at[tgt].set(
         cand_lm_first, mode="drop")
     m_has = jnp.zeros((F,), bool).at[tgt].set(True, mode="drop") & feat_valid
+    m_has = m_has & (m_id >= 0)
 
-    # case A: rewrite the linked slot in place (duplicate -> loop landmark)
-    repl = m_has & (feat_lm >= 0)
+    has_r = m.obs_has_r[kf_slot]
+    obs_contrib = 1 + has_r.astype(jnp.int32)   # per current feature
+
+    # case C: the loop landmark is still active -> relink to its slot
+    eq = (m.lm_id[None, :] == m_id[:, None]) & m.lm_valid[None, :]  # (F, L)
+    exist_slot = jnp.where(m_has & eq.any(1), jnp.argmax(eq, 1), -1)
+    relink = m_has & (exist_slot >= 0) & (feat_lm != exist_slot)
+    # move this observation's count from the old duplicate to the loop slot
+    old_slot = jnp.where(relink & (feat_lm >= 0), feat_lm, L)
+    gain_slot = jnp.where(relink, exist_slot, L)
+    new_count = (m.lm_obs_count
+                 .at[gain_slot].add(jnp.where(relink, obs_contrib, 0),
+                                    mode="drop")
+                 .at[old_slot].add(jnp.where(relink, -obs_contrib, 0),
+                                   mode="drop"))
+    new_count = jnp.maximum(new_count, 0)
+    # a duplicate that lost its last observation is merged away (not archived)
+    m = m._replace(
+        lm_obs_count=new_count,
+        lm_valid=m.lm_valid & ~((new_count == 0) & (m.lm_obs_count > 0)),
+    )
+
+    # case A: loop landmark not active, feature linked -> rewrite in place
+    repl = m_has & (exist_slot < 0) & (feat_lm >= 0)
     slot_a = jnp.where(repl, feat_lm, L)
     m = m._replace(
         lm_pos=m.lm_pos.at[slot_a].set(m_pos, mode="drop"),
@@ -300,25 +342,25 @@ def merge_loop_landmarks(m: MapState, feat_lm: jax.Array,
         lm_first_kf=m.lm_first_kf.at[slot_a].set(m_first, mode="drop"),
     )
 
-    # case B: insert the loop landmark and link it to the unlinked feature
-    ins = m_has & (feat_lm < 0)
+    # case B: loop landmark not active, feature unlinked -> insert + link
+    ins = m_has & (exist_slot < 0) & (feat_lm < 0)
     free_slots = jnp.nonzero(~m.lm_valid, size=F, fill_value=-1)[0]
     order = jnp.cumsum(ins.astype(jnp.int32)) - 1
     slots = jnp.where(ins, free_slots[jnp.clip(order, 0, F - 1)], -1)
     ok = ins & (slots >= 0)
     safe = jnp.where(ok, slots, L)
-    has_r = m.obs_has_r[kf_slot]
-    contrib = jnp.where(ok, 1 + has_r.astype(jnp.int32), 0)
+    contrib = jnp.where(ok, obs_contrib, 0)
     m = m._replace(
         lm_pos=m.lm_pos.at[safe].set(m_pos, mode="drop"),
         lm_valid=m.lm_valid.at[safe].set(True, mode="drop"),
         lm_id=m.lm_id.at[safe].set(m_id, mode="drop"),
         lm_first_kf=m.lm_first_kf.at[safe].set(m_first, mode="drop"),
         lm_obs_count=m.lm_obs_count.at[safe].set(contrib, mode="drop"),
-        obs_lm=m.obs_lm.at[kf_slot].set(
-            jnp.where(ok, slots, m.obs_lm[kf_slot])),
     )
-    return m, jnp.where(ok, slots, feat_lm)
+    new_link = jnp.where(ok, slots, jnp.where(relink, exist_slot, feat_lm))
+    m = m._replace(obs_lm=m.obs_lm.at[kf_slot].set(
+        jnp.where(ok | relink, new_link, m.obs_lm[kf_slot])))
+    return m, new_link
 
 
 def active_counts(m: MapState):

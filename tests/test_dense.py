@@ -156,3 +156,31 @@ def test_statistical_outlier_removal_tiny_inputs():
     assert statistical_outlier_removal(np.zeros((0, 3))).shape == (0,)
     one = statistical_outlier_removal(np.zeros((1, 3)))
     assert one.shape == (1,) and one.all()
+
+
+def test_statistical_outlier_removal_mean_k_exceeds_ref():
+    """mean_k >= max_ref must clamp, not crash (independent config knobs)."""
+    from stereovision_slam_tpu.ops.sor import statistical_outlier_removal
+    rng = np.random.default_rng(5)
+    pts = rng.normal(size=(3000, 3)).astype(np.float32)
+    keep = statistical_outlier_removal(pts, mean_k=2000, max_ref=512,
+                                       chunk=512)
+    assert keep.shape == (3000,)
+    assert keep.mean() > 0.5
+
+
+def test_statistical_outlier_removal_no_subsample_bias():
+    """In-sample and out-of-sample points must see statistically identical
+    mean-kNN distances (the self/k+1 drop rule removes the rank asymmetry)."""
+    from stereovision_slam_tpu.ops.sor import statistical_outlier_removal
+    rng = np.random.default_rng(6)
+    pts = rng.uniform(-5, 5, (4000, 3)).astype(np.float32)
+    keep = statistical_outlier_removal(pts, mean_k=20, std_ratio=1.0,
+                                       max_ref=1024, chunk=512, seed=7)
+    # uniform cloud: survival rate must be high and NOT depend on subsample
+    # membership; with the old biased drop, out-of-sample points were culled
+    # several times more often
+    sel = np.zeros(4000, bool)
+    sel[np.random.default_rng(7).choice(4000, 1024, replace=False)] = True
+    in_rate, out_rate = keep[sel].mean(), keep[~sel].mean()
+    assert abs(in_rate - out_rate) < 0.1, (in_rate, out_rate)

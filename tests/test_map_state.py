@@ -172,3 +172,82 @@ def test_merge_loop_landmarks_replace_and_insert():
     assert int(m2.lm_obs_count[s_new]) == 1
     # unmatched features untouched
     assert int(new_feat_lm[2]) == int(s[2])
+
+
+def test_merge_loop_landmarks_duplicate_targets_consistent():
+    """Two candidate features matching the same current feature: only the
+    lowest-index candidate wins, and pos/id/first stay mutually consistent."""
+    m = mapmod.empty_map(K, F, L)
+    pos = jnp.ones((F, 3))
+    create = jnp.zeros((F,), bool).at[0].set(True)
+    m, slots = mapmod.add_landmarks(m, pos, create, jnp.asarray(0))
+    s0 = int(slots[0])
+    feat_lm = jnp.full((F,), -1, jnp.int32).at[0].set(s0)
+    feat_valid = jnp.zeros((F,), bool).at[0].set(True)
+    uv = jnp.zeros((F, 2))
+    m, _ = mapmod.insert_keyframe(m, se3.se3_identity(), jnp.asarray(5),
+                                  jnp.asarray(5), uv, uv, feat_lm,
+                                  jnp.zeros((F,), bool), feat_valid,
+                                  num_active=4)
+    kf_slot = jnp.argmax(jnp.where(m.kf_valid, m.kf_id, -1))
+
+    # candidates 2 and 5 both match current feature 0
+    match_idx = jnp.zeros((F,), jnp.int32)
+    usable = jnp.zeros((F,), bool).at[2].set(True).at[5].set(True)
+    cand_pos = jnp.zeros((F, 3)).at[2].set(jnp.array([1., 2., 3.])) \
+        .at[5].set(jnp.array([9., 9., 9.]))
+    cand_id = jnp.full((F,), -1, jnp.int32).at[2].set(200).at[5].set(500)
+    cand_first = jnp.full((F,), -1, jnp.int32).at[2].set(2).at[5].set(5)
+
+    m2, nl = mapmod.merge_loop_landmarks(m, feat_lm, feat_valid, kf_slot,
+                                         match_idx, usable, cand_pos,
+                                         cand_id, cand_first)
+    # candidate 2 (lowest index) wins consistently on all three fields
+    np.testing.assert_allclose(np.asarray(m2.lm_pos[s0]), [1., 2., 3.])
+    assert int(m2.lm_id[s0]) == 200
+    assert int(m2.lm_first_kf[s0]) == 2
+
+
+def test_merge_loop_landmarks_relinks_to_active_loop_landmark():
+    """When the loop landmark is still in the active table, the matched
+    feature is relinked to its slot (no duplicate global id), and the
+    drifted duplicate that lost its last observation is merged away."""
+    m = mapmod.empty_map(K, F, L)
+    pos = jnp.zeros((F, 3)).at[0].set(jnp.array([1., 1., 10.])) \
+        .at[1].set(jnp.array([1.2, 1.1, 10.3]))
+    create = jnp.zeros((F,), bool).at[:2].set(True)
+    m, slots = mapmod.add_landmarks(m, pos, create, jnp.asarray(0))
+    sY, sX = int(slots[0]), int(slots[1])  # Y = loop landmark, X = duplicate
+
+    # keyframe: feature 0 linked to the DUPLICATE slot X; Y observed by an
+    # earlier keyframe (simulate with a direct count bump)
+    m = m._replace(lm_obs_count=m.lm_obs_count.at[sY].set(2))
+    feat_lm = jnp.full((F,), -1, jnp.int32).at[0].set(sX)
+    feat_valid = jnp.zeros((F,), bool).at[0].set(True)
+    uv = jnp.zeros((F, 2))
+    m, _ = mapmod.insert_keyframe(m, se3.se3_identity(), jnp.asarray(30),
+                                  jnp.asarray(30), uv, uv, feat_lm,
+                                  jnp.zeros((F,), bool), feat_valid,
+                                  num_active=4)
+    kf_slot = jnp.argmax(jnp.where(m.kf_valid, m.kf_id, -1))
+    assert int(m.lm_obs_count[sX]) == 1
+
+    # candidate feature 0 observes landmark with Y's global id (0)
+    match_idx = jnp.zeros((F,), jnp.int32)
+    usable = jnp.zeros((F,), bool).at[0].set(True)
+    cand_pos = jnp.zeros((F, 3)).at[0].set(jnp.array([1., 1., 10.]))
+    gid = int(m.lm_id[sY])
+    cand_id = jnp.full((F,), -1, jnp.int32).at[0].set(gid)
+    cand_first = jnp.full((F,), -1, jnp.int32).at[0].set(0)
+
+    m2, nl = mapmod.merge_loop_landmarks(m, feat_lm, feat_valid, kf_slot,
+                                         match_idx, usable, cand_pos,
+                                         cand_id, cand_first)
+    assert int(nl[0]) == sY, "feature must relink to the active loop slot"
+    assert int(m2.obs_lm[kf_slot, 0]) == sY
+    assert int(m2.lm_obs_count[sY]) == 3  # gained this observation
+    # duplicate X lost its only observation -> merged away, NOT archived
+    assert not bool(m2.lm_valid[sX])
+    # exactly one active slot carries Y's global id
+    n_with_id = int(jnp.sum(m2.lm_valid & (m2.lm_id == gid)))
+    assert n_with_id == 1

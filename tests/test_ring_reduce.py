@@ -63,3 +63,19 @@ def test_sharded_ba_ring_matches_xla():
     kf_x, lm_x = run_xla(m, cams[0], cams[1])
     np.testing.assert_allclose(np.asarray(kf_r), np.asarray(kf_x), atol=1e-5)
     np.testing.assert_allclose(np.asarray(lm_r), np.asarray(lm_x), atol=1e-4)
+
+
+def test_ring_psum_singleton_axis_is_identity():
+    """dp=1 must not enter the kernel (zero hops would deadlock on the
+    credit drain) — the reduction over a singleton axis is the identity."""
+    mesh = _mesh_2d(1, 8)
+    mesh_axes = tuple((n, mesh.shape[n]) for n in mesh.axis_names)
+    x = np.arange(40, dtype=np.float32).reshape(8, 5)
+
+    @jax.jit
+    @functools.partial(shard_map, mesh=mesh, in_specs=P(), out_specs=P(),
+                       check_vma=False)
+    def f(t):
+        return ring_psum(t, "dp", mesh_axes, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(f(x)), x)
