@@ -1,0 +1,185 @@
+"""Batched multi-sequence SLAM: B independent VO streams per chip.
+
+No reference analogue — the reference processes exactly one KITTI sequence
+per process (visual_odometry.cpp:158-191). On a TPU the single-stream fused
+step (slam/fused.py) leaves most of the chip idle at KITTI scale
+(620x188 images, hundreds of features): the MXU/VPU are latency-bound, not
+throughput-bound. This module `jax.vmap`s the entire fused frame step over a
+leading stream axis, so one program advances B sequences per dispatch —
+the serving-throughput configuration for fleet/production workloads.
+
+Under vmap the per-stream keyframe `lax.cond` lowers to both-branches +
+select: every dispatch pays detection+triangulation+BA for all lanes even
+when only some insert a keyframe. That is the right trade at batch scale —
+the batched BA/LK kernels amortize fixed dispatch/latency costs across
+lanes, and measured per-chip frames/s rises with B until the chip
+saturates (see docs/PERFORMANCE.md).
+
+Streams are fully independent (separate maps, archives, keyframe counters);
+per-stream results match the single-stream fused pipeline exactly (the
+selected branch computes identical values — asserted in
+tests/test_batched.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereovision_slam_tpu.ops import image as imops
+from stereovision_slam_tpu.slam import frontend as fe
+from stereovision_slam_tpu.slam import map_state as mapmod
+from stereovision_slam_tpu.slam.config import SlamConfig
+from stereovision_slam_tpu.slam.fused import (
+    ArchiveState, FrameOutputs, _fused_step_impl, empty_archive)
+
+_STATICS = ("num_levels", "num_features", "min_distance", "quality_level",
+            "max_depth", "num_active", "kf_threshold", "bad_threshold",
+            "chi2_th", "backend_on", "ba_iters", "detector")
+
+
+@partial(jax.jit, static_argnames=_STATICS, donate_argnums=(0, 1, 2, 3))
+def batched_fused_step(fs, ms, arc, kf_count, left_img, right_img,
+                       frame_id, cam_left, cam_right, **statics):
+    """Advance B streams one frame each: state pytrees and images carry a
+    leading (B, ...) axis; the cameras are shared across streams."""
+    step = partial(_fused_step_impl, **statics)
+    return jax.vmap(step, in_axes=(0, 0, 0, 0, 0, 0, 0, None, None))(
+        fs, ms, arc, kf_count, left_img, right_img, frame_id,
+        cam_left, cam_right)
+
+
+class BatchedFusedVisualOdometry:
+    """Host wrapper driving B datasets in lockstep through one device
+    program per frame index.
+
+    Streams that end early keep feeding their final frame (static shapes
+    require every lane to carry data): tracking a frozen frame holds the
+    pose still with high inlier counts, so no keyframes insert and the
+    dead stream's map stays effectively untouched; its per-frame outputs
+    stop being recorded. Batch streams of equal length when exact
+    single-stream equivalence matters."""
+
+    def __init__(self, cfg: SlamConfig, datasets,
+                 max_total_keyframes: int = 4096,
+                 max_total_landmarks: int = 1 << 15):
+        self.cfg = cfg
+        self.datasets = list(datasets)
+        self.B = len(self.datasets)
+        self.Tmax = max_total_keyframes
+        self.Lmax = max_total_landmarks
+        self.outputs: list[list[tuple[int, FrameOutputs]]] = [
+            [] for _ in range(self.B)]
+        self._alive = [True] * self.B
+        self._last = [None] * self.B
+
+    def initialize(self):
+        cfg = self.cfg
+        for ds in self.datasets:
+            ds.initialize()
+        self.cam_left = self.datasets[0].get_camera(
+            self.datasets[0].left_cam_index)
+        self.cam_right = self.datasets[0].get_camera(
+            self.datasets[0].right_cam_index)
+
+        # per-stream stereo init through the classic path, then stack
+        fs_list, ms_list, init_fids = [], [], []
+        for b, ds in enumerate(self.datasets):
+            frame = ds.next_frame()
+            ms = mapmod.empty_map(cfg.max_keyframes_window, cfg.max_features,
+                                  cfg.max_landmarks)
+            left = jnp.asarray(frame.left, jnp.float32)
+            right = jnp.asarray(frame.right, jnp.float32)
+            pyr = tuple(imops.build_pyramid(left, cfg.lk_num_levels))
+            right_pyr = tuple(imops.build_pyramid(right, cfg.lk_num_levels))
+            fs = fe.init_state(cfg.max_features, pyr)
+            fs, ms, ev, n_new, n_r = fe.keyframe_step(
+                fs, ms, right_pyr, self.cam_left, self.cam_right,
+                frame.frame_id, 0, num_features=cfg.num_features,
+                min_distance=cfg.gftt_min_distance,
+                quality_level=cfg.gftt_quality_level,
+                max_depth=cfg.max_triangulation_depth,
+                num_active=cfg.num_active_keyframes, detect_all=True,
+                detector=cfg.keypoint_feature_detector.lower())
+            fs_list.append(fs)
+            ms_list.append(ms)
+            init_fids.append(frame.frame_id)
+            self._last[b] = frame
+
+        self.fs = jax.tree.map(lambda *xs: jnp.stack(xs), *fs_list)
+        self.ms = jax.tree.map(lambda *xs: jnp.stack(xs), *ms_list)
+        arc = empty_archive(self.Tmax, self.Lmax)
+        self.arc = jax.tree.map(lambda x: jnp.stack([x] * self.B), arc)
+        self.arc = self.arc._replace(
+            kf_pose=self.arc.kf_pose.at[:, 0].set(
+                jnp.stack([f.T_cur for f in fs_list])),
+            kf_frame_id=self.arc.kf_frame_id.at[:, 0].set(
+                jnp.asarray(init_fids, jnp.int32)),
+            kf_set=self.arc.kf_set.at[:, 0].set(True),
+        )
+        self.kf_count = jnp.zeros((self.B,), jnp.int32)
+
+    def step(self) -> bool:
+        """One batched frame; False when every stream is exhausted."""
+        lefts, rights, fids = [], [], []
+        any_alive = False
+        for b, ds in enumerate(self.datasets):
+            frame = ds.next_frame() if self._alive[b] else None
+            if frame is None:
+                self._alive[b] = False
+                frame = self._last[b]
+                if frame is None:
+                    return False  # a stream ended before any tracked frame
+            else:
+                any_alive = True
+                self._last[b] = frame
+            lefts.append(np.asarray(frame.left, np.float32))
+            rights.append(np.asarray(frame.right, np.float32))
+            fids.append(frame.frame_id)
+        if not any_alive:
+            return False
+
+        cfg = self.cfg
+        self.fs, self.ms, self.arc, self.kf_count, out = batched_fused_step(
+            self.fs, self.ms, self.arc, self.kf_count,
+            jnp.asarray(np.stack(lefts)), jnp.asarray(np.stack(rights)),
+            jnp.asarray(fids, jnp.int32), self.cam_left, self.cam_right,
+            num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
+            min_distance=cfg.gftt_min_distance,
+            quality_level=cfg.gftt_quality_level,
+            max_depth=cfg.max_triangulation_depth,
+            num_active=cfg.num_active_keyframes,
+            kf_threshold=cfg.num_features_needed_for_keyframe,
+            bad_threshold=cfg.num_features_tracking_bad,
+            chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
+            ba_iters=cfg.ba_lm_iters,
+            detector=cfg.keypoint_feature_detector.lower())
+        for b in range(self.B):
+            if self._alive[b]:
+                self.outputs[b].append((fids[b], jax.tree.map(
+                    lambda x: x[b], out)))
+        return True
+
+    def run(self):
+        while self.step():
+            pass
+        jax.block_until_ready(self.fs.T_cur)
+
+    def trajectories(self) -> list[dict[int, np.ndarray]]:
+        """Per-stream frame_id -> (3, 4) keyframe poses."""
+        arcs = jax.tree.map(np.asarray, self.arc)
+        mss = jax.tree.map(np.asarray, self.ms)
+        out = []
+        for b in range(self.B):
+            keyframes = {}
+            for kf_id in np.nonzero(arcs.kf_set[b])[0]:
+                keyframes[int(kf_id)] = (int(arcs.kf_frame_id[b, kf_id]),
+                                         arcs.kf_pose[b, kf_id])
+            for slot in np.nonzero(mss.kf_valid[b])[0]:
+                keyframes[int(mss.kf_id[b, slot])] = (
+                    int(mss.kf_frame_id[b, slot]), mss.kf_pose[b, slot])
+            out.append({fid: pose for fid, pose in keyframes.values()})
+        return out

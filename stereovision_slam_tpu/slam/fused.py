@@ -93,21 +93,19 @@ def _archive_eviction(arc: ArchiveState, ev: mapmod.EvictedKeyframe) -> ArchiveS
     return arc
 
 
-@partial(jax.jit, static_argnames=(
-    "num_levels", "num_features", "min_distance", "quality_level",
-    "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
-    "backend_on", "ba_iters", "detector"), donate_argnums=(0, 1, 2, 3))
-def fused_step(fs: fe.FrontendState, ms: mapmod.MapState, arc: ArchiveState,
-               kf_count: jax.Array, left_img: jax.Array, right_img: jax.Array,
-               frame_id: jax.Array, cam_left, cam_right, *,
-               num_levels: int = 4, num_features: int = 150,
-               min_distance: int = 20, quality_level: float = 0.01,
-               max_depth: float = 300.0, num_active: int = 10,
-               kf_threshold: int = 80, bad_threshold: int = 20,
-               chi2_th: float = 5.991, backend_on: bool = True,
-               ba_iters: int = 10, detector: str = "gftt"):
-    """One full SLAM frame as a single program. Returns
-    (fs, ms, arc, kf_count, FrameOutputs)."""
+def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
+                     arc: ArchiveState, kf_count: jax.Array,
+                     left_img: jax.Array, right_img: jax.Array,
+                     frame_id: jax.Array, cam_left, cam_right, *,
+                     num_levels: int = 4, num_features: int = 150,
+                     min_distance: int = 20, quality_level: float = 0.01,
+                     max_depth: float = 300.0, num_active: int = 10,
+                     kf_threshold: int = 80, bad_threshold: int = 20,
+                     chi2_th: float = 5.991, backend_on: bool = True,
+                     ba_iters: int = 10, detector: str = "gftt"):
+    """One full SLAM frame as a single traced computation (unjitted — shared
+    by the scalar `fused_step` and the vmapped `slam/batched.py` variant).
+    Returns (fs, ms, arc, kf_count, FrameOutputs)."""
     pyr = tuple(imops.build_pyramid(left_img, num_levels))
     right_pyr = tuple(imops.build_pyramid(right_img, num_levels))
     fs, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
@@ -151,6 +149,13 @@ def fused_step(fs: fe.FrontendState, ms: mapmod.MapState, arc: ArchiveState,
                        kf_inserted=want_kf, kf_count=kf_count,
                        pose=fs.T_cur)
     return fs, ms, arc, kf_count, out
+
+
+fused_step = partial(jax.jit, static_argnames=(
+    "num_levels", "num_features", "min_distance", "quality_level",
+    "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
+    "backend_on", "ba_iters", "detector"),
+    donate_argnums=(0, 1, 2, 3))(_fused_step_impl)
 
 
 class FusedVisualOdometry:

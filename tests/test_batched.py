@@ -1,0 +1,93 @@
+"""Batched multi-sequence SLAM vs per-stream single fused runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stereovision_slam_tpu.geometry import se3
+from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
+from stereovision_slam_tpu.slam.batched import BatchedFusedVisualOdometry
+from stereovision_slam_tpu.slam.config import SlamConfig
+from stereovision_slam_tpu.slam.fused import FusedVisualOdometry
+from tests import synthetic
+
+H, W = 96, 320
+
+
+def make_stream(seed, T=10):
+    rig = synthetic.make_stereo_rig(fx=200.0, fy=200.0, cx=W / 2, cy=H / 2)
+    poses = synthetic.forward_motion_poses(
+        T, step=0.35 + 0.05 * seed, yaw_rate=0.002 * seed)
+    lefts, rights = synthetic.render_textured_stereo_sequence(
+        poses, H=H, W=W, rig=rig)
+    return (np.asarray(lefts), np.asarray(rights), [rig[0], rig[1]]), poses
+
+
+def small_config():
+    return SlamConfig(num_features=60, num_features_init=15,
+                      num_features_needed_for_keyframe=45,
+                      max_features=96, max_landmarks=512,
+                      num_active_keyframes=5)
+
+
+def test_batched_matches_single_stream():
+    streams = [make_stream(s) for s in range(3)]
+    cfg = small_config()
+
+    single_trajs = []
+    for data, _ in streams:
+        vo = FusedVisualOdometry(cfg, ArraySequenceDataset(*data),
+                                 max_total_keyframes=64,
+                                 max_total_landmarks=2048)
+        vo.initialize()
+        vo.run()
+        single_trajs.append(vo.trajectory())
+
+    bvo = BatchedFusedVisualOdometry(
+        cfg, [ArraySequenceDataset(*data) for data, _ in streams],
+        max_total_keyframes=64, max_total_landmarks=2048)
+    bvo.initialize()
+    bvo.run()
+    batched_trajs = bvo.trajectories()
+
+    for b, (single, batched) in enumerate(zip(single_trajs, batched_trajs)):
+        assert set(single.keys()) == set(batched.keys()), \
+            f"stream {b}: keyframe sets differ"
+        for fid in single:
+            np.testing.assert_allclose(batched[fid], single[fid], atol=1e-4,
+                                       err_msg=f"stream {b} frame {fid}")
+
+
+def test_batched_trajectories_track_ground_truth():
+    streams = [make_stream(s, T=12) for s in range(2)]
+    cfg = small_config()
+    bvo = BatchedFusedVisualOdometry(
+        cfg, [ArraySequenceDataset(*data) for data, _ in streams],
+        max_total_keyframes=64, max_total_landmarks=2048)
+    bvo.initialize()
+    bvo.run()
+    for b, traj in enumerate(bvo.trajectories()):
+        _, poses = streams[b]
+        errs = [float(se3.se3_distance(jnp.asarray(traj[f]), poses[f]))
+                for f in traj]
+        ate = float(np.sqrt(np.mean(np.square(errs))))
+        assert ate < 0.25, f"stream {b} ATE {ate:.3f}"
+
+
+def test_batched_unequal_lengths():
+    """A stream ending early must not corrupt the others."""
+    streams = [make_stream(0, T=6), make_stream(1, T=12)]
+    cfg = small_config()
+    bvo = BatchedFusedVisualOdometry(
+        cfg, [ArraySequenceDataset(*data) for data, _ in streams],
+        max_total_keyframes=64, max_total_landmarks=2048)
+    bvo.initialize()
+    bvo.run()
+    trajs = bvo.trajectories()
+    # long stream still tracks its ground truth
+    _, poses1 = streams[1]
+    errs = [float(se3.se3_distance(jnp.asarray(trajs[1][f]), poses1[f]))
+            for f in trajs[1]]
+    assert float(np.sqrt(np.mean(np.square(errs)))) < 0.25
+    # short stream's outputs stop at its end
+    assert max(fid for fid, _ in bvo.outputs[0]) <= 5
