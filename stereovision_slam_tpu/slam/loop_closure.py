@@ -97,12 +97,16 @@ class LoopClosure:
     """Host orchestrator for the loop-closure pipeline."""
 
     def __init__(self, cfg, cam_left, mnv2_weights_path: str | None = None,
-                 embedder: str = "auto"):
+                 embedder: str = "auto", pgo_mesh=None):
         """embedder: 'mobilenet' (requires weights for useful similarity),
         'thumbnail' (weight-free tiny-image descriptor), or 'auto'
-        (mobilenet when a weights file exists, thumbnail otherwise)."""
+        (mobilenet when a weights file exists, thumbnail otherwise).
+        pgo_mesh: optional jax.sharding.Mesh — the shutdown PGO shards its
+        edges over it (parallel/sharded_pgo.py) instead of running
+        single-device."""
         self.cfg = cfg
         self.cam_left = cam_left
+        self.pgo_mesh = pgo_mesh
         import os
         have_weights = bool(mnv2_weights_path) and os.path.exists(
             mnv2_weights_path or "")
@@ -317,7 +321,13 @@ class LoopClosure:
             edge_meas=jnp.asarray(np.stack(meas), jnp.float32),
             edge_valid=jnp.ones((len(edge_i),), bool),
         )
-        new_poses = np.asarray(optimize_pose_graph(g, iters=22))
+        if self.pgo_mesh is not None and self.pgo_mesh.devices.size > 1:
+            from stereovision_slam_tpu.parallel.sharded_pgo import \
+                build_sharded_pgo
+            new_poses = np.asarray(build_sharded_pgo(
+                self.pgo_mesh, iters=22)(g))
+        else:
+            new_poses = np.asarray(optimize_pose_graph(g, iters=22))
 
         # write back keyframe poses (loopclosure.cpp:787-791)
         for rec, pose in zip(recs, new_poses):

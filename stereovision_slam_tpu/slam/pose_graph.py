@@ -66,7 +66,18 @@ def _linearize(g: PoseGraph):
     return r * w[:, None], Ji * w[:, None, None], Jj * w[:, None, None]
 
 
-def _hvp(g: PoseGraph, Ji, Jj, lam, diag_blocks, free, x):
+def _no_reduce(x):
+    """Identity cross-device reduction (single-device PGO).
+
+    The distributed PGO (parallel/sharded_pgo.py) shards edges over the mesh
+    and passes a `lax.psum` here: every edge-scatter / chi2 sum below is a
+    partial sum over the local edge shard that the psum completes. Vertex
+    state (poses, CG vectors) stays replicated, so nothing else changes.
+    """
+    return x
+
+
+def _hvp(g: PoseGraph, Ji, Jj, lam, diag_blocks, free, x, reduce_fn=_no_reduce):
     """(H + lam*diag) @ x, edge-wise and matrix-free. x: (T, 6)."""
     xi = x[g.edge_i]
     xj = x[g.edge_j]
@@ -77,7 +88,8 @@ def _hvp(g: PoseGraph, Ji, Jj, lam, diag_blocks, free, x):
     ci = jnp.einsum("eab,ea->eb", Ji, y, precision=_PREC)
     cj = jnp.einsum("eab,ea->eb", Jj, y, precision=_PREC)
     T = x.shape[0]
-    out = jnp.zeros_like(x).at[g.edge_i].add(ci).at[g.edge_j].add(cj)
+    out = reduce_fn(
+        jnp.zeros_like(x).at[g.edge_i].add(ci).at[g.edge_j].add(cj))
     damp = lam * jnp.einsum("tab,tb->ta",
                             diag_blocks * jnp.eye(6, dtype=x.dtype), x,
                             precision=_PREC)
@@ -85,14 +97,15 @@ def _hvp(g: PoseGraph, Ji, Jj, lam, diag_blocks, free, x):
     return jnp.where(free[:, None], out, x)  # fixed/invalid rows: identity
 
 
-def _diag_blocks(g: PoseGraph, Ji, Jj, T):
+def _diag_blocks(g: PoseGraph, Ji, Jj, T, reduce_fn=_no_reduce):
     Hi = jnp.einsum("eab,eac->ebc", Ji, Ji, precision=_PREC)
     Hj = jnp.einsum("eab,eac->ebc", Jj, Jj, precision=_PREC)
     D = jnp.zeros((T, 6, 6), Ji.dtype).at[g.edge_i].add(Hi).at[g.edge_j].add(Hj)
-    return D
+    return reduce_fn(D)
 
 
-def _pcg(g, Ji, Jj, b, lam, diag_blocks, free, iters=100, tol=1e-8):
+def _pcg(g, Ji, Jj, b, lam, diag_blocks, free, iters=100, tol=1e-8,
+         reduce_fn=_no_reduce):
     """Block-Jacobi preconditioned CG for (H + lam diag) dx = b."""
     T = b.shape[0]
     eye = jnp.eye(6, dtype=b.dtype)
@@ -113,7 +126,7 @@ def _pcg(g, Ji, Jj, b, lam, diag_blocks, free, iters=100, tol=1e-8):
 
     def body(_, carry):
         x, r, p, rz = carry
-        Ap = _hvp(g, Ji, Jj, lam, diag_blocks, free, p)
+        Ap = _hvp(g, Ji, Jj, lam, diag_blocks, free, p, reduce_fn)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
         converged = rz < tol
@@ -130,31 +143,35 @@ def _pcg(g, Ji, Jj, b, lam, diag_blocks, free, iters=100, tol=1e-8):
     return x
 
 
-@partial(jax.jit, static_argnames=("iters", "cg_iters"))
-def optimize_pose_graph(g: PoseGraph, iters: int = 22, cg_iters: int = 100):
-    """LM on the pose graph; returns refined (T, 3, 4) poses.
+def _optimize(g: PoseGraph, iters: int, cg_iters: int,
+              reduce_fn=_no_reduce):
+    """LM loop shared by the single-device and mesh-sharded PGO.
 
-    Keyframe slot with the smallest valid index is held fixed (the reference
-    fixes keyframe id 0, loopclosure.cpp:699-703).
+    With the default identity `reduce_fn` this sees the full edge set; under
+    `shard_map` (parallel/sharded_pgo.py) `g` holds only the local edge shard
+    and `reduce_fn` is a psum over the mesh axes.
     """
     T = g.poses.shape[0]
+    # pose_valid is replicated either way, so argmax agrees across devices
     first = jnp.argmax(g.pose_valid)  # first valid slot
     free = g.pose_valid & (jnp.arange(T) != first)
 
     def total_chi2(poses):
         gg = g._replace(poses=poses)
         r, _, _ = _linearize(gg)
-        return jnp.sum(r * r)
+        return reduce_fn(jnp.sum(r * r))
 
     def lm_step(_, carry):
         poses, lam = carry
         gg = g._replace(poses=poses)
         r, Ji, Jj = _linearize(gg)
-        b = -(jnp.zeros((T, 6), r.dtype)
-              .at[g.edge_i].add(jnp.einsum("eab,ea->eb", Ji, r, precision=_PREC))
-              .at[g.edge_j].add(jnp.einsum("eab,ea->eb", Jj, r, precision=_PREC)))
-        D = _diag_blocks(gg, Ji, Jj, T)
-        dx = _pcg(gg, Ji, Jj, b, lam, D, free, iters=cg_iters)
+        b = -reduce_fn(
+            jnp.zeros((T, 6), r.dtype)
+            .at[g.edge_i].add(jnp.einsum("eab,ea->eb", Ji, r, precision=_PREC))
+            .at[g.edge_j].add(jnp.einsum("eab,ea->eb", Jj, r, precision=_PREC)))
+        D = _diag_blocks(gg, Ji, Jj, T, reduce_fn)
+        dx = _pcg(gg, Ji, Jj, b, lam, D, free, iters=cg_iters,
+                  reduce_fn=reduce_fn)
         poses_new = se3.se3_compose(se3.se3_exp(dx), poses)
         better = total_chi2(poses_new) < total_chi2(poses)
         poses_out = jnp.where(better, poses_new, poses)
@@ -165,6 +182,16 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 22, cg_iters: int = 100):
     poses, _ = lax.fori_loop(0, iters, lm_step,
                              (g.poses, jnp.asarray(1e-6, g.poses.dtype)))
     return poses
+
+
+@partial(jax.jit, static_argnames=("iters", "cg_iters"))
+def optimize_pose_graph(g: PoseGraph, iters: int = 22, cg_iters: int = 100):
+    """LM on the pose graph; returns refined (T, 3, 4) poses.
+
+    Keyframe slot with the smallest valid index is held fixed (the reference
+    fixes keyframe id 0, loopclosure.cpp:699-703).
+    """
+    return _optimize(g, iters, cg_iters)
 
 
 def reanchor_landmarks(lm_pos: jax.Array, lm_first_kf: jax.Array,

@@ -10,9 +10,11 @@ run — the reference's full LoopClosurePipeline + PoseGraphOptimization flow
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from stereovision_slam_tpu.geometry import se3
 from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
+from stereovision_slam_tpu.parallel.mesh import make_ba_mesh
 from stereovision_slam_tpu.slam.backend import Backend
 from stereovision_slam_tpu.slam.config import SlamConfig
 from stereovision_slam_tpu.slam.loop_closure import LoopClosure
@@ -20,7 +22,8 @@ from stereovision_slam_tpu.slam.pipeline import VisualOdometry
 from tests import synthetic
 
 
-def test_loop_closes_on_arena_circuit():
+@pytest.mark.parametrize("pgo", ["single", "sharded"])
+def test_loop_closes_on_arena_circuit(pgo):
     T = 56
     yaw = 2 * np.pi / T
     rig = synthetic.make_stereo_rig()
@@ -38,7 +41,9 @@ def test_loop_closes_on_arena_circuit():
                      min_num_acceptable_keypoint_match=10)
     vo = VisualOdometry(cfg, ds, backend=Backend())
     vo.initialize()
-    lc = LoopClosure(cfg, vo.dataset.get_camera(0), embedder="thumbnail")
+    mesh = make_ba_mesh(8) if pgo == "sharded" else None
+    lc = LoopClosure(cfg, vo.dataset.get_camera(0), embedder="thumbnail",
+                     pgo_mesh=mesh)
     vo.loop_closure = lc
     vo.run()
 
