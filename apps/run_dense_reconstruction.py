@@ -21,8 +21,18 @@ def main() -> int:
         del args[i:i + 2]
         import jax
         jax.config.update("jax_platforms", platform)
+    per_device_batch = 1
+    use_mesh = False
+    if "--mesh" in args:  # shard keyframes over all local devices
+        use_mesh = True
+        args.remove("--mesh")
+    if "--per-device-batch" in args:
+        i = args.index("--per-device-batch")
+        per_device_batch = int(args[i + 1])
+        del args[i:i + 2]
     if not args:
-        print("Usage: run_dense_reconstruction.py <config.yaml> [--platform cpu|tpu]")
+        print("Usage: run_dense_reconstruction.py <config.yaml> "
+              "[--platform cpu|tpu] [--mesh] [--per-device-batch N]")
         return 1
     config_path = args[0]
     if not os.path.exists(config_path):
@@ -45,7 +55,12 @@ def main() -> int:
     )
     dr = DenseReconstruction(cfg)
     dr.initialize()
-    points, colors = dr.dense_reconstruct()
+    mesh = None
+    if use_mesh:
+        import jax
+        mesh = jax.make_mesh((jax.device_count(),), ("kf",))
+    points, colors = dr.dense_reconstruct(mesh=mesh,
+                                          per_device_batch=per_device_batch)
     print(f"Dense reconstruction finished: {len(points)} points -> "
           f"{os.path.join(cfg.slam_output_dir, 'dense_pointcloud.pcd')}")
     return 0

@@ -35,9 +35,8 @@ from stereovision_slam_tpu.ops.stereo_bm import compute_disparity
 from stereovision_slam_tpu.slam.outputs import load_keyframes_file
 
 
-@jax.jit
-def _depth_and_points(disp, valid, fx, fy, cx, cy, baseline, T_cw,
-                      min_depth=1.0, max_depth=200.0):
+def _depth_and_points_impl(disp, valid, fx, fy, cx, cy, baseline, T_cw,
+                           min_depth=1.0, max_depth=200.0):
     """Disparity -> world points for every pixel (masked)."""
     H, W = disp.shape
     z = jnp.where(valid & (disp > 0.1), fx * baseline / jnp.maximum(disp, 0.1),
@@ -51,6 +50,48 @@ def _depth_and_points(disp, valid, fx, fy, cx, cy, baseline, T_cw,
     T_wc = se3.se3_inverse(T_cw)
     p_world = se3.se3_apply(T_wc, p_cam)
     return p_world, ok.reshape(-1)
+
+
+_depth_and_points = jax.jit(_depth_and_points_impl)
+
+
+def build_sharded_dense_kernel(mesh, num_disparities: int = 128,
+                               block_size: int = 15, min_depth: float = 1.0,
+                               max_depth: float = 150.0):
+    """Mesh-distributed dense mapping: keyframes shard over every mesh axis.
+
+    Dense reconstruction is embarrassingly parallel across keyframes (the
+    reference loops them serially on one CPU, dense_reconstruction.cpp:92-173)
+    — the cost volume + back-projection for each keyframe shard runs on its
+    own device with zero collectives; hosts only gather the point batches.
+
+    Returns jitted fn(lefts (B,H,W), rights (B,H,W), T_cws (B,3,4),
+    fx, fy, cx, cy, baseline) -> (points (B,H*W,3), ok (B,H*W)), with B a
+    multiple of the mesh size (pad with zero images: the texture gate marks
+    every padded pixel invalid).
+    """
+    from functools import partial as _partial
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+
+    axes = tuple(mesh.axis_names)
+
+    def per_kf(left, right, T_cw, fx, fy, cx, cy, baseline):
+        disp, valid = compute_disparity(
+            left, right, num_disparities=num_disparities,
+            block_size=block_size)
+        return _depth_and_points_impl(disp, valid, fx, fy, cx, cy, baseline,
+                                      T_cw, min_depth, max_depth)
+
+    vmapped = jax.vmap(per_kf, in_axes=(0, 0, 0) + (None,) * 5)
+
+    @_partial(shard_map, mesh=mesh,
+              in_specs=(P(axes), P(axes), P(axes)) + (P(),) * 5,
+              out_specs=(P(axes), P(axes)), check_vma=False)
+    def run(lefts, rights, T_cws, fx, fy, cx, cy, baseline):
+        return vmapped(lefts, rights, T_cws, fx, fy, cx, cy, baseline)
+
+    return jax.jit(run)
 
 
 def density_filter(points: np.ndarray, voxel: float = 0.1,
@@ -141,27 +182,34 @@ class DenseReconstruction:
                 is_color_input=self.cfg.is_color_input)
             self.dataset.initialize()
 
-    def reconstruct_keyframe(self, frame_id: int, T_cw: np.ndarray):
-        """One keyframe -> (points (N,3), colors (N,3) uint8)."""
-        cfg = self.cfg
+    def _frame_arrays(self, frame_id: int):
+        """(left_gray, right_gray, colors_img) for one keyframe, or None."""
         frame = self.dataset.frame_by_id(frame_id)
         if frame is None:
-            return None, None
+            return None
         left = np.asarray(frame.left, np.float32)
         right = np.asarray(frame.right, np.float32)
         if left.ndim == 3:
-            left_gray = left.mean(axis=-1)
-            right_gray = right.mean(axis=-1)
-            colors_img = left.astype(np.uint8)
-        else:
-            left_gray, right_gray = left, right
-            colors_img = np.stack([left] * 3, axis=-1).astype(np.uint8)
+            return left.mean(axis=-1), right.mean(axis=-1), left.astype(np.uint8)
+        return left, right, np.stack([left] * 3, axis=-1).astype(np.uint8)
 
+    def _cams(self):
+        cfg = self.cfg
         cam = self.dataset.get_camera(
             getattr(self.dataset, "left_cam_index", cfg.left_color_cam_index))
         cam_r = self.dataset.get_camera(
             getattr(self.dataset, "right_cam_index", cfg.right_color_cam_index))
         baseline = abs(float(cam_r.baseline) - float(cam.baseline))
+        return cam, baseline
+
+    def reconstruct_keyframe(self, frame_id: int, T_cw: np.ndarray):
+        """One keyframe -> (points (N,3), colors (N,3) uint8)."""
+        cfg = self.cfg
+        arrs = self._frame_arrays(frame_id)
+        if arrs is None:
+            return None, None
+        left_gray, right_gray, colors_img = arrs
+        cam, baseline = self._cams()
 
         disp, valid = compute_disparity(
             jnp.asarray(left_gray), jnp.asarray(right_gray),
@@ -186,17 +234,70 @@ class DenseReconstruction:
             points, mean_k=cfg.sor_mean_k, std_ratio=cfg.sor_std_ratio,
             max_ref=cfg.sor_max_ref, chunk=cfg.sor_chunk)
 
+    def _reconstruct_sharded(self, kfs, mesh, per_device_batch: int):
+        """Keyframe shards run on their own mesh devices (one jitted program
+        per batch of mesh_size*per_device_batch keyframes); the host gathers
+        point batches and applies the per-keyframe outlier filter."""
+        import jax.numpy as jnp
+        cfg = self.cfg
+        B = mesh.devices.size * per_device_batch
+        cam, baseline = self._cams()
+        kernel = build_sharded_dense_kernel(
+            mesh, cfg.num_disparities, cfg.block_size,
+            cfg.min_depth, cfg.max_depth)
+
+        loaded = []
+        for frame_id, T in kfs:
+            arrs = self._frame_arrays(frame_id)
+            if arrs is not None:
+                loaded.append((arrs, T))
+        all_pts, all_cols = [], []
+        ident = np.eye(3, 4, dtype=np.float32)
+        for s in range(0, len(loaded), B):
+            chunk = loaded[s:s + B]
+            pad = B - len(chunk)
+            lefts = np.stack([a[0] for a, _ in chunk]
+                             + [np.zeros_like(loaded[0][0][0])] * pad)
+            rights = np.stack([a[1] for a, _ in chunk]
+                              + [np.zeros_like(loaded[0][0][1])] * pad)
+            T_cws = np.stack([np.asarray(T, np.float32) for _, T in chunk]
+                             + [ident] * pad)
+            pts, ok = kernel(jnp.asarray(lefts), jnp.asarray(rights),
+                             jnp.asarray(T_cws),
+                             jnp.asarray(cam.fx), jnp.asarray(cam.fy),
+                             jnp.asarray(cam.cx), jnp.asarray(cam.cy),
+                             jnp.asarray(baseline, jnp.float32))
+            pts = np.asarray(pts)
+            ok = np.asarray(ok)
+            for b, (arrs, _) in enumerate(chunk):
+                pts_np = pts[b][ok[b]]
+                cols_np = arrs[2].reshape(-1, 3)[ok[b]]
+                keep = self._outlier_keep_mask(pts_np)
+                if keep.any():
+                    all_pts.append(pts_np[keep])
+                    all_cols.append(cols_np[keep])
+        return all_pts, all_cols
+
     def dense_reconstruct(self, output_path: str | None = None,
-                          max_keyframes: int | None = None):
+                          max_keyframes: int | None = None, mesh=None,
+                          per_device_batch: int = 1):
         """Full pipeline over all keyframes; writes dense_pointcloud.pcd into
-        the SLAM output dir (dense_reconstruction.cpp:212-237)."""
+        the SLAM output dir (dense_reconstruction.cpp:212-237).
+
+        With `mesh`, keyframes shard over the mesh devices
+        (build_sharded_dense_kernel) instead of running serially.
+        """
         all_pts, all_cols = [], []
         kfs = self.keyframes[:max_keyframes] if max_keyframes else self.keyframes
-        for frame_id, T in kfs:
-            pts, cols = self.reconstruct_keyframe(frame_id, T)
-            if pts is not None and len(pts):
-                all_pts.append(pts)
-                all_cols.append(cols)
+        if mesh is not None and kfs:
+            all_pts, all_cols = self._reconstruct_sharded(
+                kfs, mesh, per_device_batch)
+        else:
+            for frame_id, T in kfs:
+                pts, cols = self.reconstruct_keyframe(frame_id, T)
+                if pts is not None and len(pts):
+                    all_pts.append(pts)
+                    all_cols.append(cols)
         if not all_pts:
             points = np.zeros((0, 3), np.float32)
             colors = np.zeros((0, 3), np.uint8)

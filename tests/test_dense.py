@@ -125,6 +125,53 @@ def test_dense_reconstruction_end_to_end(tmp_path):
     assert cols2 is not None
 
 
+def test_dense_reconstruction_sharded_matches_serial(tmp_path):
+    """Mesh-sharded dense mapping over 8 virtual devices must reproduce the
+    serial per-keyframe path (same wall geometry, same point budget)."""
+    key = jax.random.PRNGKey(7)
+    H, W = 96, 320
+    fx = fy = 150.0
+    cx, cy = W / 2.0, H / 2.0
+    baseline = 0.5
+    n_kf = 3  # < mesh size: exercises zero-image padding
+    lefts, rights, kfs = [], [], []
+    for i in range(n_kf):
+        z_wall = 5.0 + i
+        d = fx * baseline / z_wall
+        left = synthetic.smooth_texture(jax.random.fold_in(key, i), H, W)
+        lefts.append(np.asarray(left))
+        rights.append(np.asarray(synthetic.translate_image(left, -d, 0.0)))
+        kfs.append((i, np.asarray(se3.se3_identity())))
+
+    from stereovision_slam_tpu.geometry.camera import Camera
+    cam_l = Camera.create(fx, fy, cx, cy, baseline=0.0)
+    cam_r = Camera.create(fx, fy, cx, cy, baseline=baseline,
+                          pose=se3.se3_from_Rt(jnp.eye(3),
+                                               jnp.array([-baseline, 0., 0.])))
+    ds = ArraySequenceDataset(np.stack(lefts), np.stack(rights),
+                              [cam_l, cam_r])
+    out_dir = save_slam_output(str(tmp_path), "<synthetic>", 0, kfs,
+                               np.zeros((0, 3)), timestamped_subdir=False)
+    cfg = DenseReconstructionConfig(slam_output_dir=out_dir,
+                                    num_disparities=32, block_size=11,
+                                    max_depth=50.0, voxel_leaf=0.05,
+                                    density_voxel=0.3)
+
+    dr = DenseReconstruction(cfg, dataset_factory=lambda _: ds)
+    dr.initialize()
+    pts_serial, _ = dr.dense_reconstruct()
+
+    mesh = jax.make_mesh((jax.device_count(),), ("kf",))
+    dr2 = DenseReconstruction(cfg, dataset_factory=lambda _: ds)
+    dr2.initialize()
+    pts_sharded, _ = dr2.dense_reconstruct(mesh=mesh)
+
+    assert len(pts_sharded) > 500
+    # same geometry: per-keyframe walls at z = 5, 6, 7
+    assert abs(len(pts_sharded) - len(pts_serial)) < 0.05 * len(pts_serial)
+    assert abs(np.median(pts_sharded[:, 2]) - np.median(pts_serial[:, 2])) < 0.3
+
+
 def test_statistical_outlier_removal_drops_isolated_points():
     from stereovision_slam_tpu.ops.sor import statistical_outlier_removal
     rng = np.random.default_rng(3)
