@@ -158,6 +158,54 @@ fused_step = partial(jax.jit, static_argnames=(
     donate_argnums=(0, 1, 2, 3))(_fused_step_impl)
 
 
+def build_scan_chunk(cam_left, cam_right, **static):
+    """Compile a `lax.scan` over a CHUNK of frames: one device dispatch per
+    chunk instead of per frame.
+
+    The fused per-frame program already runs with zero host syncs, but each
+    frame still costs one host->device dispatch; scanning the (shared-shape)
+    fused step over stacked frame arrays amortizes that dispatch across the
+    whole chunk — the TPU-native analogue of the reference's free-running
+    main loop (visual_odometry.cpp:158-191) for offline/recorded sequences.
+
+    Returns a jitted fn
+        (fs, ms, arc, kf_count, lefts, rights, frame_ids, valid) ->
+        (fs, ms, arc, kf_count, FrameOutputs stacked over the chunk)
+    where `valid[i]=False` (tail padding) passes state through untouched and
+    emits a sentinel output (n_inliers = -1).
+    """
+
+    def scan_chunk(fs, ms, arc, kf_count, lefts, rights, frame_ids, valid):
+        def body(carry, x):
+            fs, ms, arc, kf_count = carry
+            left, right, fid, ok = x
+
+            def run(ops):
+                fs, ms, arc, kfc = ops
+                return _fused_step_impl(fs, ms, arc, kfc, left, right, fid,
+                                        cam_left, cam_right, **static)
+
+            def skip(ops):
+                fs, ms, arc, kfc = ops
+                out = FrameOutputs(
+                    n_inliers=jnp.asarray(-1, jnp.int32),
+                    n_tracked=jnp.asarray(-1, jnp.int32),
+                    kf_inserted=jnp.asarray(False),
+                    kf_count=kfc, pose=fs.T_cur)
+                return fs, ms, arc, kfc, out
+
+            fs, ms, arc, kf_count, out = lax.cond(
+                ok, run, skip, (fs, ms, arc, kf_count))
+            return (fs, ms, arc, kf_count), out
+
+        (fs, ms, arc, kf_count), outs = lax.scan(
+            body, (fs, ms, arc, kf_count),
+            (lefts, rights, frame_ids, valid))
+        return fs, ms, arc, kf_count, outs
+
+    return jax.jit(scan_chunk, donate_argnums=(0, 1, 2, 3))
+
+
 class FusedVisualOdometry:
     """Streaming host wrapper: enqueue frames with zero per-frame syncs."""
 
@@ -287,3 +335,95 @@ class FusedVisualOdometry:
     def trajectory(self) -> dict[int, np.ndarray]:
         keyframes, _, _ = self.drain()
         return {fid: pose for fid, pose in keyframes.values()}
+
+
+class ScanVisualOdometry(FusedVisualOdometry):
+    """Offline/batch mode: frames are consumed in fixed-size chunks, each
+    chunk is ONE `lax.scan` device program (see build_scan_chunk). Produces
+    the same archives/outputs as FusedVisualOdometry (same traced per-frame
+    computation), with per-frame dispatch cost amortized across the chunk.
+
+    Runtime note (measured, docs/PERFORMANCE.md "scan-mode caveat"): under
+    the axon RPC tunnel, merely LOADING the compiled scan executable flips
+    the runtime into its degraded dispatch state (tiny-op dispatch 0.04ms ->
+    1.5ms before any execution) and the chunk then executes ~60x slower than
+    the identical per-frame programs — an executable-size threshold in the
+    experimental runtime, not a property of the HLO (op-for-op identical to
+    the fused step; CPU backend executes scan and per-frame modes at parity).
+    Prefer FusedVisualOdometry on axon; use this mode on standard TPU
+    runtimes / CPU for recorded sequences."""
+
+    def __init__(self, cfg: SlamConfig, dataset, chunk_size: int = 32, **kw):
+        super().__init__(cfg, dataset, **kw)
+        self.chunk_size = chunk_size
+        self._scan_fn = None
+        self._pending_chunks = []
+
+    def _ensure_scan_fn(self):
+        if self._scan_fn is None:
+            cfg = self.cfg
+            self._scan_fn = build_scan_chunk(
+                self.cam_left, self.cam_right,
+                num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
+                min_distance=cfg.gftt_min_distance,
+                quality_level=cfg.gftt_quality_level,
+                max_depth=cfg.max_triangulation_depth,
+                num_active=cfg.num_active_keyframes,
+                kf_threshold=cfg.num_features_needed_for_keyframe,
+                bad_threshold=cfg.num_features_tracking_bad,
+                chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
+                ba_iters=cfg.ba_lm_iters,
+                detector=cfg.keypoint_feature_detector.lower())
+        return self._scan_fn
+
+    def _next_chunk(self):
+        """Read up to chunk_size frames; returns stacked host arrays or None."""
+        lefts, rights, fids = [], [], []
+        while len(lefts) < self.chunk_size:
+            frame = self.dataset.next_frame()
+            if frame is None:
+                break
+            lefts.append(np.asarray(frame.left, np.float32))
+            rights.append(np.asarray(frame.right, np.float32))
+            fids.append(frame.frame_id)
+        if not lefts:
+            return None
+        n = len(lefts)
+        pad = self.chunk_size - n
+        if pad:  # tail: repeat the last frame, masked invalid
+            lefts += [lefts[-1]] * pad
+            rights += [rights[-1]] * pad
+            fids += [fids[-1]] * pad
+        valid = np.arange(self.chunk_size) < n
+        return (np.stack(lefts), np.stack(rights),
+                np.asarray(fids, np.int32), valid, n)
+
+    def step(self) -> bool:
+        """One chunk (after the one-off stereo init on the first frame)."""
+        if not self._initialized_map:
+            frame = self.dataset.next_frame()
+            if frame is None:
+                return False
+            self._stereo_init(frame)
+            return True
+        chunk = self._next_chunk()
+        if chunk is None:
+            return False
+        lefts, rights, fids, valid, n = chunk
+        scan_fn = self._ensure_scan_fn()
+        self.fs, self.ms, self.arc, self.kf_count, outs = scan_fn(
+            self.fs, self.ms, self.arc, self.kf_count,
+            jnp.asarray(lefts), jnp.asarray(rights),
+            jnp.asarray(fids), jnp.asarray(valid))
+        self._pending_chunks.append((fids[:n], outs, n))
+        return True
+
+    def drain(self):
+        # unstack chunked outputs into the per-frame list once, host-side
+        for fids, outs, n in self._pending_chunks:
+            host = jax.tree.map(np.asarray, outs)
+            for i in range(n):
+                self.outputs.append((int(fids[i]), FrameOutputs(
+                    *[np.asarray(v[i]) for v in host])))
+        self._pending_chunks = []
+        return super().drain()
