@@ -10,10 +10,13 @@ the serving-throughput configuration for fleet/production workloads.
 
 Under vmap the per-stream keyframe `lax.cond` lowers to both-branches +
 select: every dispatch pays detection+triangulation+BA for all lanes even
-when only some insert a keyframe. That is the right trade at batch scale —
-the batched BA/LK kernels amortize fixed dispatch/latency costs across
-lanes, and measured per-chip frames/s rises with B until the chip
-saturates (see docs/PERFORMANCE.md).
+when only some insert a keyframe. Batching does amortize per-frame compute
+(measured per-frame device cost drops ~3x from B=1 to B=8), but on the
+axon tunnel the larger executables trip the runtime's degraded-dispatch
+cliff, so end-to-end aggregate throughput currently FALLS with B there —
+see the measured table in docs/PERFORMANCE.md ("Batched streams on axon").
+On standard TPU runtimes the amortization is expected to dominate; prefer
+the single-stream fused pipeline on axon.
 
 Streams are fully independent (separate maps, archives, keyframe counters);
 per-stream results match the single-stream fused pipeline exactly (the
