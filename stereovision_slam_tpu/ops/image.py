@@ -65,11 +65,27 @@ def _sep_filter(img: jax.Array, kx: jax.Array, ky: jax.Array) -> jax.Array:
     return out2
 
 
+# OpenCV's fixed small-kernel tables (getGaussianKernel with sigma<=0 and
+# ksize<=7 returns these, NOT the sigma formula). The reference's embedder
+# preprocessing is cv::GaussianBlur(img, Size(7,7), 0) (loopclosure.cpp:110),
+# so matching these taps gives bit-level preprocessing parity.
+_SMALL_GAUSSIAN_TAB = {
+    1: np.array([1.0], np.float32),
+    3: np.array([0.25, 0.5, 0.25], np.float32),
+    5: np.array([0.0625, 0.25, 0.375, 0.25, 0.0625], np.float32),
+    7: np.array([0.03125, 0.109375, 0.21875, 0.28125,
+                 0.21875, 0.109375, 0.03125], np.float32),
+}
+
+
 def gaussian_kernel1d(size: int, sigma: float | None = None) -> np.ndarray:
-    """Odd-sized normalized 1-D Gaussian (OpenCV sigma convention when None).
+    """Odd-sized normalized 1-D Gaussian (OpenCV conventions when sigma=None:
+    fixed binomial-style taps for ksize<=7, else the 0.3((k-1)/2-1)+0.8 rule).
 
     Returned as a concrete numpy array: filter taps are compile-time
     constants for the shift-add path in _sep_filter."""
+    if (sigma is None or sigma <= 0) and size in _SMALL_GAUSSIAN_TAB:
+        return _SMALL_GAUSSIAN_TAB[size]
     if sigma is None or sigma <= 0:
         sigma = 0.3 * ((size - 1) * 0.5 - 1) + 0.8
     x = np.arange(size, dtype=np.float32) - (size - 1) / 2.0
