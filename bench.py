@@ -7,10 +7,14 @@ the default JAX backend (the real TPU under the driver).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: the reference publishes no fps numbers (BASELINE.md); its per-frame
-wall-clock logging on a desktop CPU corresponds to roughly real-time (~10 fps)
-operation on KITTI. vs_baseline is therefore fps / 10.0 until the C++
-reference can be measured directly.
+Baseline: the reference publishes no fps numbers (BASELINE.md), and its
+g2o/Sophus/PCL deps are absent so the C++ binary cannot be built here.
+Instead, its hot path IS a fixed set of OpenCV kernel calls, which we time
+directly on this host at the reference's exact operating point
+(benchmarks/reference_cpu_baseline.py): the resulting per-frame floor gives
+an UPPER BOUND on the reference's achievable fps (the real pipeline adds the
+g2o solves, map bookkeeping, I/O and Rerun logging on top). vs_baseline is
+fps / that-upper-bound — i.e. a conservative speedup figure.
 """
 
 from __future__ import annotations
@@ -107,11 +111,21 @@ def main():
     poses_arr = np.stack([pose for _, pose in keyframes.values()])
     assert np.all(np.isfinite(poses_arr)), "non-finite keyframe poses"
 
+    # measured reference baseline: time the reference's own OpenCV hot-path
+    # kernels on this host (see module docstring); fall back to the recorded
+    # measurement if cv2 is unavailable at bench time
+    from benchmarks import reference_cpu_baseline as refbase
+    try:
+        floor_ms, _ = refbase.measure_floor(lefts[0], lefts[1], rights[0])
+        ref_fps_bound = 1000.0 / floor_ms
+    except ImportError:
+        ref_fps_bound = refbase.MEASURED_REFERENCE_FPS_UPPER_BOUND
+
     print(json.dumps({
         "metric": "frontend+BA frames/sec per chip (synthetic KITTI-scale 620x188)",
         "value": round(fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 10.0, 3),
+        "vs_baseline": round(fps / ref_fps_bound, 3),
     }))
 
 

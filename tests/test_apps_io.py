@@ -196,3 +196,24 @@ visualizer_on: 0
     assert proc2.returncode == 0, proc2.stderr[-2000:]
     assert "Resumed from" in proc2.stdout
     assert "SLAM finished" in proc2.stdout
+
+
+def test_render_outputs_cli(tmp_path):
+    pytest.importorskip("matplotlib")
+    from stereovision_slam_tpu.slam.outputs import save_slam_output
+
+    kfs = []
+    for i in range(12):
+        T = np.hstack([np.eye(3, dtype=np.float32),
+                       np.array([[0.1 * i], [0.0], [-0.5 * i]], np.float32)])
+        kfs.append((i, T))
+    lms = np.random.default_rng(0).uniform(-10, 10, (200, 3)).astype(np.float32)
+    out = save_slam_output(str(tmp_path), "/data/kitti/05", 0, kfs, lms,
+                           timestamped_subdir=False)
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "apps", "render_outputs.py"),
+         out], capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
+    assert os.path.exists(os.path.join(out, "trajectory.png"))
+    assert os.path.exists(os.path.join(out, "landmarks.png"))
