@@ -304,6 +304,9 @@ class DenseReconstruction:
         else:
             points = np.concatenate(all_pts)
             colors = np.concatenate(all_cols)
+            # second, global SOR pass over the merged cloud: intentional —
+            # the reference filters per keyframe AND once more globally
+            # (dense_reconstruction.cpp:180-185 in-loop, :194-200 merged)
             keep = self._outlier_keep_mask(points)
             points, colors = points[keep], colors[keep]
             points, colors = voxel_downsample(points, colors,

@@ -223,7 +223,12 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
                                  kf_free, lm_active)
         kf_new = se3.se3_compose(se3.se3_exp(dx_p), kf_pose)
         lm_new = lm_pos + dx_l
-        better = robust_total(kf_new, lm_new) < robust_total(kf_pose, lm_pos)
+        # incumbent cost from the residuals already evaluated above (equals
+        # robust_total(kf_pose, lm_pos)) — saves a full residual pass/iter
+        rho_inc = jnp.where(c <= huber_d2, c,
+                            2.0 * jnp.sqrt(huber_d2 * c) - huber_d2)
+        cost_inc = jnp.sum(jnp.where(obs.valid & in_front, rho_inc, 0.0))
+        better = robust_total(kf_new, lm_new) < cost_inc
         kf_out = jnp.where(better, kf_new, kf_pose)
         lm_out = jnp.where(better, lm_new, lm_pos)
         lam_out = jnp.where(better, jnp.maximum(lam * 0.5, 1e-9),
@@ -237,16 +242,6 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
     # (backend.cpp:166-193)
     c_final, in_front = chi2_fn(kf_pose, lm_pos)
     total = jnp.maximum(jnp.sum(obs.valid), 1)
-
-    def th_body(carry):
-        th, _ = carry
-        inl = jnp.sum(obs.valid & (c_final <= th) & in_front)
-        ratio = inl / total
-        return th * 2.0, ratio
-
-    def th_cond(carry):
-        th, ratio = carry
-        return ratio <= 0.5
 
     # run at most outlier_rounds doublings
     th = jnp.asarray(chi2_th, dtype)

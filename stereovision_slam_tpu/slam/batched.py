@@ -68,7 +68,7 @@ class BatchedFusedVisualOdometry:
 
     def __init__(self, cfg: SlamConfig, datasets,
                  max_total_keyframes: int = 4096,
-                 max_total_landmarks: int = 1 << 15):
+                 max_total_landmarks: int = 1 << 15, mesh=None):
         self.cfg = cfg
         self.datasets = list(datasets)
         self.B = len(self.datasets)
@@ -78,6 +78,31 @@ class BatchedFusedVisualOdometry:
             [] for _ in range(self.B)]
         self._alive = [True] * self.B
         self._last = [None] * self.B
+        # Optional data parallelism: shard the stream axis over a device
+        # mesh. Streams never interact, so the partitioned program has ZERO
+        # collectives — aggregate throughput scales with devices (the
+        # fleet/serving configuration; each chip advances B/n_devices maps).
+        self._shard = None
+        if mesh is not None:
+            from jax.sharding import AxisType, Mesh, NamedSharding, PartitionSpec
+            if self.B % mesh.size != 0:
+                raise ValueError(
+                    f"B={self.B} streams must divide the mesh size "
+                    f"{mesh.size} evenly (static per-device lane count)")
+            if any(t != AxisType.Auto for t in mesh.axis_types):
+                # jax.make_mesh defaults to Explicit axis types (sharding-in-
+                # types), which demands spec annotations the fused program
+                # doesn't carry; classic GSPMD auto-propagation partitions the
+                # independent-stream batch with zero collectives on its own
+                mesh = Mesh(mesh.devices, mesh.axis_names)
+            self._shard = NamedSharding(mesh, PartitionSpec(mesh.axis_names))
+
+    def _place(self, tree):
+        """Shard a (B, ...) pytree's leading axis over the mesh (no-op
+        single-device)."""
+        if self._shard is None:
+            return tree
+        return jax.device_put(tree, self._shard)
 
     def initialize(self):
         cfg = self.cfg
@@ -124,6 +149,11 @@ class BatchedFusedVisualOdometry:
             kf_set=self.arc.kf_set.at[:, 0].set(True),
         )
         self.kf_count = jnp.zeros((self.B,), jnp.int32)
+        if self._shard is not None:
+            self.fs = self._place(self.fs)
+            self.ms = self._place(self.ms)
+            self.arc = self._place(self.arc)
+            self.kf_count = self._place(self.kf_count)
 
     def step(self) -> bool:
         """One batched frame; False when every stream is exhausted."""
@@ -148,8 +178,10 @@ class BatchedFusedVisualOdometry:
         cfg = self.cfg
         self.fs, self.ms, self.arc, self.kf_count, out = batched_fused_step(
             self.fs, self.ms, self.arc, self.kf_count,
-            jnp.asarray(np.stack(lefts)), jnp.asarray(np.stack(rights)),
-            jnp.asarray(fids, jnp.int32), self.cam_left, self.cam_right,
+            self._place(jnp.asarray(np.stack(lefts))),
+            self._place(jnp.asarray(np.stack(rights))),
+            self._place(jnp.asarray(fids, jnp.int32)),
+            self.cam_left, self.cam_right,
             num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
             min_distance=cfg.gftt_min_distance,
             quality_level=cfg.gftt_quality_level,

@@ -201,6 +201,14 @@ def keyframe_step(fs: FrontendState, m: mapmod.MapState, right_pyr: tuple,
     left_img = fs.pyr[0]
     H, W = left_img.shape
 
+    # --- 0. expire links to archived landmarks (the reference's weak_ptr
+    # expiry: a landmark dropped by Map::RemoveOldKeyframe leaves the
+    # feature unlinked, so it re-triangulates below). Without this, a stale
+    # slot index could alias a recycled landmark from add_landmarks.
+    safe_lm = jnp.clip(fs.feat_lm, 0, m.lm_valid.shape[0] - 1)
+    fs = fs._replace(feat_lm=jnp.where(
+        (fs.feat_lm >= 0) & m.lm_valid[safe_lm], fs.feat_lm, -1))
+
     # --- 1. detect new corners away from existing features ---
     if detect_all:
         mask = None

@@ -252,6 +252,14 @@ class FusedVisualOdometry:
             max_depth=cfg.max_triangulation_depth,
             num_active=cfg.num_active_keyframes, detect_all=True,
             detector=cfg.keypoint_feature_detector.lower())
+        if int(n_new) < cfg.num_features_init:
+            # not enough triangulated landmarks: stay uninitialized and retry
+            # on the next frame, like the classic pipeline (frontend.cpp:216-249).
+            # keyframe_step donated the old MapState, so rebuild a fresh one.
+            self.fs = None
+            self.ms = mapmod.empty_map(cfg.max_keyframes_window,
+                                       cfg.max_features, cfg.max_landmarks)
+            return
         self.arc = self.arc._replace(
             kf_pose=self.arc.kf_pose.at[0].set(self.fs.T_cur),
             kf_frame_id=self.arc.kf_frame_id.at[0].set(frame.frame_id),

@@ -134,16 +134,22 @@ class LoopClosure:
         LoopClosurePipeline, loopclosure.cpp:182-198, 801-879)."""
         cfg = self.cfg
         kf_id = vo.kf_count
-        # cooldown after a closed loop (loopclosure.cpp:189-196)
-        if (self.last_closed_kf_id is not None and
-                kf_id - self.last_closed_kf_id <=
-                cfg.keyframes_to_ignore_after_loop):
-            return
+        # cooldown after a closed loop (loopclosure.cpp:189-196). Deviation
+        # from the reference, which drops cooldown keyframes entirely (never
+        # enqueued, so never embedded or stored): we still process and store
+        # the entry and only suppress the closure attempt — the reference's
+        # behavior punches a permanent keyframes_to_ignore_after_loop-sized
+        # hole in the place-recognition database after every closed loop,
+        # which can silently miss a third revisit of the same stretch.
+        in_cooldown = (self.last_closed_kf_id is not None and
+                       kf_id - self.last_closed_kf_id <=
+                       cfg.keyframes_to_ignore_after_loop)
 
         entry = self._process(vo, frame, kf_id)
-        candidate = self._find_candidate(entry)
-        if candidate is not None:
-            self._attempt_closure(vo, entry, candidate)
+        if not in_cooldown:
+            candidate = self._find_candidate(entry)
+            if candidate is not None:
+                self._attempt_closure(vo, entry, candidate)
         self.db[kf_id] = entry
         self._scan_cache_append(kf_id, entry.embedding)
 
@@ -179,18 +185,28 @@ class LoopClosure:
         else:
             embedding = np.asarray(mnv2.embed_image_thumbnail(left))
         fs, ms = vo.fs, vo.ms
-        desc, ok = descriptors.compute(left, fs.feat_uv, fs.feat_valid)
-        safe = jnp.clip(fs.feat_lm, 0, ms.lm_pos.shape[0] - 1)
-        lm_has = fs.feat_valid & (fs.feat_lm >= 0) & ms.lm_valid[safe]
-        lm_pos = ms.lm_pos[safe]
+        reloc = getattr(vo, "_reloc", None)
+        if reloc is not None and reloc.get("kf_id") == kf_id:
+            # pipeline._snapshot_for_reloc already ran the descriptor kernel
+            # and the landmark gather on this exact frame/feature set
+            desc, ok = reloc["desc"], reloc["ok"]
+            lm_has, lm_pos = reloc["lm_has"], reloc["lm_pos"]
+            lm_id, lm_first = reloc["lm_id"], reloc["lm_first_kf"]
+        else:
+            desc, ok = descriptors.compute(left, fs.feat_uv, fs.feat_valid)
+            safe = jnp.clip(fs.feat_lm, 0, ms.lm_pos.shape[0] - 1)
+            lm_has = fs.feat_valid & (fs.feat_lm >= 0) & ms.lm_valid[safe]
+            lm_pos = ms.lm_pos[safe]
+            lm_id = ms.lm_id[safe]
+            lm_first = ms.lm_first_kf[safe]
         return ProcessedKeyframe(
             kf_id=kf_id, frame_id=frame.frame_id,
             embedding=embedding,
             desc=np.asarray(desc), desc_ok=np.asarray(ok),
             feat_uv=np.asarray(fs.feat_uv),
             lm_pos=np.asarray(lm_pos), lm_has=np.asarray(lm_has),
-            lm_id=np.asarray(ms.lm_id[safe]),
-            lm_first_kf=np.asarray(ms.lm_first_kf[safe]),
+            lm_id=np.asarray(lm_id),
+            lm_first_kf=np.asarray(lm_first),
             pose=np.asarray(fs.T_cur),
         )
 

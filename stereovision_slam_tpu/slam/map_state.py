@@ -182,10 +182,14 @@ def insert_keyframe(m: MapState, pose: jax.Array, frame_id: jax.Array,
 
     # place the new KF in the first free slot
     slot = jnp.argmax(~m.kf_valid)
-    obs_on = feat_valid & (feat_lm >= 0)
+    safe_idx = jnp.where(feat_lm >= 0, feat_lm, 0)
+    # only link observations to landmarks still active AFTER the eviction:
+    # linking to a just-archived slot would leave an invalid slot with
+    # count > 0 whose obs row aliases a different landmark once
+    # add_landmarks recycles the slot
+    obs_on = feat_valid & (feat_lm >= 0) & m.lm_valid[safe_idx]
     # bump landmark observation counts (left + optional right)
     contrib = jnp.where(obs_on, 1 + feat_has_r.astype(jnp.int32), 0)
-    safe_idx = jnp.where(feat_lm >= 0, feat_lm, 0)
     inc = jnp.zeros((L,), jnp.int32).at[safe_idx].add(contrib)
 
     m = m._replace(

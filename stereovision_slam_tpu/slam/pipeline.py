@@ -156,10 +156,15 @@ class VisualOdometry:
             self.status = fe.FrontendStatus.TRACKING_GOOD
             self._notify_backend()
             self._snapshot_for_reloc()
-        # else: stay INITING, retry next frame (map unchanged on failure is
-        # acceptable: landmarks added by the failed attempt are orphaned but
-        # the attempt rarely fails twice; reference behaves the same way by
-        # recreating the map)
+        else:
+            # stay INITING and retry next frame with a FRESH map: keyframe_step
+            # donates the old MapState buffer (donate_argnums), so self.ms must
+            # not keep pointing at it — on TPU the donated array is deleted and
+            # the retry would crash. A fresh empty map also drops the failed
+            # attempt's partial keyframe/landmarks (the reference rebuilds the
+            # init map per attempt, frontend.cpp:216-249).
+            self.ms = mapmod.empty_map(cfg.max_keyframes_window,
+                                       cfg.max_features, cfg.max_landmarks)
 
     def _insert_keyframe(self, frame) -> None:
         cfg = self.cfg
@@ -193,9 +198,13 @@ class VisualOdometry:
         desc, ok = descriptors.compute(fs.pyr[0], fs.feat_uv, fs.feat_valid)
         safe = jnp.clip(fs.feat_lm, 0, ms.lm_pos.shape[0] - 1)
         lm_has = fs.feat_valid & (fs.feat_lm >= 0) & ms.lm_valid[safe]
+        # the extra fields let LoopClosure._process reuse this snapshot
+        # instead of recomputing the descriptor kernel on the same frame
         self._reloc = {
             "desc": desc, "ok": ok,
             "lm_pos": ms.lm_pos[safe], "lm_has": lm_has,
+            "lm_id": ms.lm_id[safe], "lm_first_kf": ms.lm_first_kf[safe],
+            "kf_id": self.kf_count,
         }
 
     def _relocalize(self, frame) -> bool:

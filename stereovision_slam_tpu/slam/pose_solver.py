@@ -85,7 +85,16 @@ def _lm_rounds(cam: Camera, T_init: jax.Array, points: jax.Array, obs: jax.Array
                 m = inlier & (pc[..., 2] > 1e-6)
                 return jnp.sum(jnp.where(m, c, 0.0))
 
-            better = wchi2(T_new) < wchi2(T)
+            # incumbent cost from the top-of-iteration residuals (identical
+            # mask and robustifier to wchi2(T)) — saves one residual pass
+            c_top = jnp.sum(r * r, axis=-1)
+            if use_huber:
+                d2 = jnp.asarray(round_th, dtype)
+                c_top = jnp.where(c_top <= d2, c_top,
+                                  2.0 * jnp.sqrt(d2 * c_top) - d2)
+            m_top = inlier & (p_cam[..., 2] > 1e-6)
+            cost_T = jnp.sum(jnp.where(m_top, c_top, 0.0))
+            better = wchi2(T_new) < cost_T
             T_out = jnp.where(better, T_new, T)
             lam_out = jnp.where(better, jnp.maximum(lam * 0.3, 1e-9),
                                 jnp.minimum(lam * 5.0, 1e5))

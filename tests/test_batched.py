@@ -91,3 +91,45 @@ def test_batched_unequal_lengths():
     assert float(np.sqrt(np.mean(np.square(errs)))) < 0.25
     # short stream's outputs stop at its end
     assert max(fid for fid, _ in bvo.outputs[0]) <= 5
+
+
+def test_batched_mesh_sharded_matches_unsharded():
+    """dp-sharded batched streams (8 lanes over the 8-device CPU mesh) must
+    produce exactly the unsharded batched results — streams are independent,
+    so the partitioned program has no collectives to introduce skew."""
+    from stereovision_slam_tpu.parallel.mesh import make_ba_mesh
+
+    streams = [make_stream(s % 4, T=8) for s in range(8)]
+    cfg = small_config()
+
+    plain = BatchedFusedVisualOdometry(
+        cfg, [ArraySequenceDataset(*data) for data, _ in streams],
+        max_total_keyframes=64, max_total_landmarks=2048)
+    plain.initialize()
+    plain.run()
+
+    mesh = jax.make_mesh((8,), ("dp",))
+    sharded = BatchedFusedVisualOdometry(
+        cfg, [ArraySequenceDataset(*data) for data, _ in streams],
+        max_total_keyframes=64, max_total_landmarks=2048, mesh=mesh)
+    sharded.initialize()
+    # state actually lands sharded over the devices
+    assert len(sharded.fs.T_cur.sharding.device_set) == 8
+    sharded.run()
+
+    for a, b in zip(plain.trajectories(), sharded.trajectories()):
+        assert set(a.keys()) == set(b.keys())
+        for fid in a:
+            # partitioned programs reorder float ops (layout/fusion changes);
+            # observed max divergence ~1e-4 over a full run
+            np.testing.assert_allclose(a[fid], b[fid], atol=1e-3)
+
+
+def test_batched_mesh_requires_divisible_batch():
+    import pytest
+    mesh = jax.make_mesh((8,), ("dp",))
+    streams = [make_stream(0, T=4) for _ in range(3)]
+    with pytest.raises(ValueError, match="divide"):
+        BatchedFusedVisualOdometry(
+            small_config(),
+            [ArraySequenceDataset(*data) for data, _ in streams], mesh=mesh)

@@ -251,3 +251,51 @@ def test_merge_loop_landmarks_relinks_to_active_loop_landmark():
     # exactly one active slot carries Y's global id
     n_with_id = int(jnp.sum(m2.lm_valid & (m2.lm_id == gid)))
     assert n_with_id == 1
+
+
+def test_stale_link_to_archived_slot_not_counted():
+    """Regression: a feature still linked to a landmark whose slot was just
+    archived by this insertion's eviction must NOT bump that slot's count or
+    appear in the new keyframe's obs row (otherwise the slot is recycled by
+    add_landmarks while the stale obs row aliases the new landmark)."""
+    m = mapmod.empty_map(K, F, L)
+    num_active = 2
+
+    # landmark 0 observed ONLY by keyframe 0
+    pos = jnp.zeros((F, 3), jnp.float32)
+    create = jnp.zeros((F,), bool).at[0].set(True)
+    m, slots = mapmod.add_landmarks(m, pos, create, jnp.asarray(0))
+    s0 = int(slots[0])
+
+    uv, uv_r, _, has_r, valid = make_kf_features(4, [])
+    lm_link = jnp.full((F,), -1, jnp.int32).at[0].set(s0)
+    m, _ = mapmod.insert_keyframe(
+        m, se3.se3_identity(), jnp.asarray(0), jnp.asarray(0), uv, uv_r,
+        lm_link, has_r, valid, num_active=num_active)
+    assert bool(m.lm_valid[s0])
+
+    # keyframes 1, 2 don't observe it; window of 2 -> inserting 2 evicts 0,
+    # archiving s0. The inserted keyframe 2 STILL carries the stale link.
+    far1 = se3.se3_exp(jnp.array([50.0, 0, 0, 0, 0, 0.0]))
+    m, _ = mapmod.insert_keyframe(
+        m, far1, jnp.asarray(1), jnp.asarray(1), uv, uv_r,
+        jnp.full((F,), -1, jnp.int32), has_r, valid, num_active=num_active)
+    far2 = se3.se3_exp(jnp.array([100.0, 0, 0, 0, 0, 0.0]))
+    m, ev = mapmod.insert_keyframe(
+        m, far2, jnp.asarray(2), jnp.asarray(2), uv, uv_r,
+        lm_link, has_r, valid, num_active=num_active)
+
+    assert bool(ev.happened)
+    assert bool(ev.lm_archived[s0]), "s0 should be archived with KF 0"
+    assert not bool(m.lm_valid[s0])
+    # the stale link must not resurrect the archived slot's count...
+    assert int(m.lm_obs_count[s0]) == 0
+    # ...and the new keyframe's obs row must not reference it
+    kf2_slot = int(jnp.argmax(m.kf_id == 2))
+    assert int(m.obs_lm[kf2_slot, 0]) == -1
+
+    # the slot is then safely recyclable with a clean count
+    m, slots2 = mapmod.add_landmarks(
+        m, pos, jnp.zeros((F,), bool).at[0].set(True), jnp.asarray(2))
+    assert int(slots2[0]) == s0
+    assert int(m.lm_obs_count[s0]) == 0

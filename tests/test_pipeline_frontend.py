@@ -80,3 +80,56 @@ def test_outputs_roundtrip(tmp_path, synthetic_run):
     pts, _ = read_pcd(f"{out}/landmarks.pcd")
     assert len(pts) == len(vo.archived_landmarks)
     assert np.all(np.isfinite(pts))
+
+
+def _flat_first_sequence():
+    """Frame 0 is featureless (stereo init must fail); frames 1.. textured."""
+    key = jax.random.PRNGKey(7)
+    H, W = 120, 320
+    rig = synthetic.make_stereo_rig(fx=260.0, fy=260.0, cx=160.0, cy=60.0)
+    T = 6
+    poses = synthetic.forward_motion_poses(T, step=0.4)
+    landmarks = synthetic.random_landmarks(key, 90, x_range=(-12, 12),
+                                           y_range=(-4, 4), z_range=(4, 40))
+    lefts, rights = synthetic.render_stereo_sequence(
+        key, poses, landmarks, H=H, W=W, rig=rig)
+    lefts = np.array(lefts)
+    rights = np.array(rights)
+    lefts[0] = 100.0  # flat: GFTT finds nothing, triangulation yields 0
+    rights[0] = 100.0
+    return ArraySequenceDataset(lefts, rights, list(rig))
+
+
+def test_stereo_init_retries_after_flat_first_frame():
+    """Regression: a failed stereo init donates the MapState buffer; the
+    retry on the next frame must run on a fresh map, not the donated one."""
+    ds = _flat_first_sequence()
+    vo = VisualOdometry(small_config(), ds)
+    vo.initialize()
+    assert vo.step()  # frame 0: init fails, stays INITING
+    assert vo.status == fe.FrontendStatus.INITING
+    assert vo.step()  # frame 1: retry must succeed on a live buffer
+    assert vo.status == fe.FrontendStatus.TRACKING_GOOD
+    while vo.step():
+        pass
+    assert len(vo.archived_keyframes) >= 2
+    # the failed attempt must not have registered a keyframe: the first
+    # keyframe anchors at frame 1, not the flat frame 0
+    assert min(r.frame_id for r in vo.archived_keyframes.values()) >= 1
+
+
+def test_fused_stereo_init_retries_after_flat_first_frame():
+    from stereovision_slam_tpu.slam.fused import FusedVisualOdometry
+    ds = _flat_first_sequence()
+    vo = FusedVisualOdometry(small_config(), ds)
+    vo.initialize()
+    assert vo.step()  # frame 0: init fails
+    assert not vo._initialized_map
+    assert vo.step()  # frame 1: retry
+    assert vo._initialized_map
+    while vo.step():
+        pass
+    keyframes, landmarks, frames = vo.drain()
+    assert len(keyframes) >= 1 and len(landmarks) > 10
+    # keyframe 0 anchors at frame 1, not the flat frame 0
+    assert min(fid for fid, _ in keyframes.values()) >= 1
