@@ -65,7 +65,8 @@ def main() -> int:
     vo = VisualOdometry(cfg, dataset, viewer=viewer, backend=backend)
     vo.initialize()
     if cfg.loopclosure_on:
-        vo.loop_closure = LoopClosure(cfg, vo.cam_left)
+        vo.loop_closure = LoopClosure(
+            cfg, vo.cam_left, mnv2_weights_path=cfg.dnn_weights_path)
 
     if resume_path:
         from stereovision_slam_tpu.slam.checkpoint import load_checkpoint

@@ -176,9 +176,39 @@ def load_torchvision_weights(path: str) -> dict:
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
+    arrays = {k: np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+              for k, t in sd.items()}
+    return convert_param_arrays(arrays)
+
+
+def load_onnx_weights(path: str) -> dict:
+    """Convert the reference's ONNX artifact (dnn_weights/mobilenet_v2.onnx,
+    loopclosure.cpp:73-90) to our layout, without the onnx package.
+
+    Works for exports whose initializers keep the torchvision parameter
+    names (the standard torch.onnx.export of torchvision mobilenet_v2
+    without constant folding). Raises with a clear message otherwise.
+    """
+    from stereovision_slam_tpu.models.onnx_reader import read_onnx_initializers
+
+    arrays = {k: np.asarray(v, np.float32)
+              for k, v in read_onnx_initializers(path).items()}
+    if "features.0.0.weight" not in arrays:
+        sample = ", ".join(list(arrays)[:5])
+        raise ValueError(
+            f"{path}: initializer names do not match torchvision parameter "
+            f"names (got e.g. {sample}); the export was likely constant-"
+            "folded. Re-export without folding, or convert the original "
+            ".pth with load_torchvision_weights.")
+    return convert_param_arrays(arrays)
+
+
+def convert_param_arrays(sd: dict) -> dict:
+    """Torchvision-named numpy arrays (state_dict layout) -> our param tree,
+    with BN folded into inference scale/bias."""
 
     def to_np(t):
-        return np.asarray(t.detach().cpu().numpy(), dtype=np.float32)
+        return np.asarray(t, dtype=np.float32)
 
     def fold_bn(prefix):
         g = to_np(sd[f"{prefix}.weight"])
@@ -224,9 +254,12 @@ def load_torchvision_weights(path: str) -> dict:
 
 
 def get_params(weights_path: str | None = None, seed: int = 0) -> dict:
-    """Load torchvision weights if a path is given and exists, else random."""
+    """Load weights if a path is given and exists (.onnx via the built-in
+    ONNX reader, anything else as a torch state_dict), else random."""
     if weights_path:
         import os
         if os.path.exists(weights_path):
+            if weights_path.endswith(".onnx"):
+                return load_onnx_weights(weights_path)
             return load_torchvision_weights(weights_path)
     return init_params(seed=seed)

@@ -47,6 +47,10 @@ class SlamConfig:
 
     # --- loop closure (default.yaml:37-47) ---
     loopclosure_on: int = 1
+    # reference hardcodes this path (loopclosure.cpp:81); .onnx loads via the
+    # built-in reader, .pth via the torchvision converter; thumbnail
+    # embedder fallback when the file is absent
+    dnn_weights_path: str = "./dnn_weights/mobilenet_v2.onnx"
     keyframes_to_ignore_after_loop: int = 5
     potential_loop_weak_threshold: float = 0.92
     potential_loop_strong_threshold: float = 0.95

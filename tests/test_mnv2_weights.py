@@ -75,3 +75,62 @@ def test_bn_folding_matches_reference_formula(tmp_path):
                                scale, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(params["stem"]["bn"]["bias"]),
                                b - mean * scale, rtol=1e-4, atol=1e-5)
+
+
+def test_onnx_initializer_roundtrip(tmp_path):
+    from stereovision_slam_tpu.models import onnx_reader
+
+    rng = np.random.default_rng(0)
+    tensors = {
+        "a.weight": rng.normal(size=(4, 3, 3, 3)).astype(np.float32),
+        "b.bias": rng.normal(size=(7,)).astype(np.float32),
+        "c.scalar": np.asarray(2.5, np.float32),
+        "d.ints": rng.integers(-5, 5, (3, 2)).astype(np.int64),
+    }
+    path = str(tmp_path / "weights.onnx")
+    onnx_reader.write_onnx_initializers(path, tensors)
+    back = onnx_reader.read_onnx_initializers(path)
+    assert set(back) == set(tensors)
+    for k in tensors:
+        assert back[k].dtype == tensors[k].dtype
+        np.testing.assert_array_equal(back[k], tensors[k])
+
+
+def test_load_onnx_weights_matches_state_dict_converter(tmp_path):
+    """The same arrays loaded via .pth and via .onnx produce identical
+    parameter trees (the reference's ONNX artifact as a first-class input)."""
+    from stereovision_slam_tpu.models import onnx_reader
+
+    torch.manual_seed(1)
+    sd = fabricate_state_dict()
+    pth = str(tmp_path / "mnv2.pth")
+    torch.save(sd, pth)
+    params_pth = mnv2.load_torchvision_weights(pth)
+
+    onnx_path = str(tmp_path / "mnv2.onnx")
+    onnx_reader.write_onnx_initializers(
+        onnx_path, {k: v.numpy().astype(np.float32) for k, v in sd.items()})
+    params_onnx = mnv2.load_onnx_weights(onnx_path)
+
+    import jax
+    leaves_a = jax.tree.leaves(params_pth)
+    leaves_b = jax.tree.leaves(params_onnx)
+    assert len(leaves_a) == len(leaves_b)
+    for a, b in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # get_params dispatches on extension
+    params_auto = mnv2.get_params(onnx_path)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(params_auto)[0]),
+        np.asarray(leaves_b[0]))
+
+
+def test_load_onnx_weights_rejects_folded_exports(tmp_path):
+    from stereovision_slam_tpu.models import onnx_reader
+
+    path = str(tmp_path / "folded.onnx")
+    onnx_reader.write_onnx_initializers(
+        path, {"onnx::Conv_501": np.zeros((4, 3, 3, 3), np.float32)})
+    with pytest.raises(ValueError, match="torchvision parameter names"):
+        mnv2.load_onnx_weights(path)
