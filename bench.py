@@ -15,12 +15,26 @@ directly on this host at the reference's exact operating point
 an UPPER BOUND on the reference's achievable fps (the real pipeline adds the
 g2o solves, map bookkeeping, I/O and Rerun logging on top). vs_baseline is
 fps / that-upper-bound — i.e. a conservative speedup figure.
+
+Measurement protocol (shaped by the axon runtime's two dispatch cliffs,
+docs/PERFORMANCE.md):
+  * the synthetic scene is rendered by a SUBPROCESS
+    (benchmarks/render_scene.py) — the first device->host value readback in
+    a process permanently degrades all subsequent dispatch ~30x, and
+    converting render outputs to numpy is exactly such a readback;
+  * the measured loop performs ZERO readbacks: stereo-init (including its
+    retry decision) runs inside the fused device program, per-frame outputs
+    stay on device, and both best-of-2 passes complete BEFORE any value is
+    drained for the correctness guard.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -38,36 +52,48 @@ def main():
     sys.path.insert(0, "/root/repo/tests")
     import synthetic
 
-    from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
+    from stereovision_slam_tpu.io.kitti import ArraySequenceDataset, StereoFrame
     from stereovision_slam_tpu.slam.config import SlamConfig
     from stereovision_slam_tpu.slam.fused import FusedVisualOdometry
 
     H, W = 188, 620
     T = 120
-    # Build + render the synthetic scene entirely on the CPU backend: a
-    # large-working-set program on the TPU leaves the runtime in a degraded
-    # ~55ms-per-dispatch state afterwards (axon quirk, measured), and the
-    # dataset is host-side input anyway.
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        key = jax.random.PRNGKey(0)
-        rig = synthetic.make_stereo_rig()
-        poses = synthetic.forward_motion_poses(T, step=0.5, yaw_rate=0.0)
-        lefts, rights = synthetic.render_textured_stereo_sequence(
-            poses, H=H, W=W, rig=rig)
-    lefts = np.asarray(lefts)
-    rights = np.asarray(rights)
-    # the rig cameras feed the TPU pipeline: rebuild them on the default device
+    # Render the scene in an ISOLATED SUBPROCESS (module docstring): reading
+    # rendered frames back to numpy inside this process would trip the axon
+    # readback cliff before the measurement starts.
+    with tempfile.TemporaryDirectory() as tmp:
+        scene = os.path.join(tmp, "scene.npz")
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "render_scene.py"),
+             scene, str(T), str(H), str(W)],
+            check=True, capture_output=True)
+        data = np.load(scene)
+        lefts = data["lefts"]
+        rights = data["rights"]
     rig = synthetic.make_stereo_rig()
 
     cfg = SlamConfig()  # reference defaults: 150 features, window 10
 
+    # dispatch-health probe: the number below should be ~0.02-0.05 ms on a
+    # healthy axon runtime; >0.2 ms means the process is already degraded and
+    # the measurement will under-report (logged to stderr for diagnosis)
+    probe_x = jnp.ones((8, 128))
+    probe_f = jax.jit(lambda v: v * 2 + 1)
+    probe_f(probe_x).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(50):
+        y = probe_f(probe_x)
+    y.block_until_ready()
+    print(f"dispatch probe: {(time.perf_counter() - t0) / 50 * 1000:.3f} "
+          "ms/op", file=sys.stderr)
+
     # Pre-stage the frames on the device: the benchmark measures per-chip
     # frontend+BA compute throughput. (Under the axon RPC tunnel each
     # host->device image upload costs ~0.45ms of host time — an artifact of
-    # the tunnel, not the TPU's DMA path; streamed-over-tunnel throughput is
-    # ~740 fps, see docs/PERFORMANCE.md.)
-    from stereovision_slam_tpu.io.kitti import StereoFrame
+    # the tunnel, not the TPU's DMA path; the native prefetching loader +
+    # FusedVisualOdometry(prefetch_depth=...) overlap uploads on real hosts.)
     dev_l = [jax.device_put(lefts[i]) for i in range(T)]
     dev_r = [jax.device_put(rights[i]) for i in range(T)]
     jax.block_until_ready((dev_l[-1], dev_r[-1]))
@@ -80,19 +106,17 @@ def main():
                                right=dev_r[fid])
 
     # fused streaming mode: the whole frame (pyramid + LK + pose solve +
-    # keyframe decision + triangulation + Schur BA) is ONE device program,
-    # no per-frame host syncs.
-    # Best-of-2 passes: the axon runtime's dispatch latency is bimodal (a
-    # prior large program can leave it in a degraded ~2x-slower state,
-    # docs/PERFORMANCE.md) — the faster pass reflects the chip's throughput.
-    # The second pass reuses the compiled programs, so it costs only runtime.
-    fps = 0.0
+    # stereo-init-with-retry + keyframe decision + triangulation + Schur BA)
+    # is ONE device program, no per-frame host syncs and no readbacks.
+    # Best-of-2 passes (the second reuses the compiled programs); both passes
+    # run BEFORE any drain so neither is poisoned by readbacks.
+    passes = []
     for _rep in range(2):
         ds = DeviceResidentDataset(lefts, rights, list(rig))
         vo = FusedVisualOdometry(cfg, ds)
         vo.initialize()
 
-        # warmup: stereo-init + first fused steps compile both cond branches
+        # warmup: first steps compile/load the fused program (all branches)
         warmup = 6
         for _ in range(warmup):
             if not vo.step():
@@ -105,10 +129,13 @@ def main():
             n += 1
         jax.block_until_ready(vo.fs.T_cur)
         dt = time.perf_counter() - t0
+        passes.append((n / dt if dt > 0 else 0.0, vo))
 
-        fps = max(fps, n / dt if dt > 0 else 0.0)
+    fps = max(p[0] for p in passes)
 
-        # correctness guard: a fast-but-broken run must not produce a score
+    # correctness guard (AFTER timing — drain reads values back): a
+    # fast-but-broken run must not produce a score
+    for _, vo in passes:
         keyframes, landmarks, frames = vo.drain()
         n_in = np.array([int(f.n_inliers) for _, f in frames])
         assert len(keyframes) >= 2, f"only {len(keyframes)} keyframes"

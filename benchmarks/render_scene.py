@@ -1,0 +1,44 @@
+"""Render the synthetic benchmark scene to an .npz, in an isolated process.
+
+Run as a SUBPROCESS by bench.py: the scene renderer uses the JAX CPU backend,
+and converting its outputs to numpy is a device->host readback — on the axon
+TPU runtime the first readback in a process permanently degrades every
+subsequent dispatch ~30x (docs/PERFORMANCE.md "readback cliff"). Rendering in
+a throwaway process keeps the benchmarking process's runtime pristine.
+
+Usage: python benchmarks/render_scene.py OUT.npz T [H W]
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+import synthetic  # noqa: E402
+
+
+def main():
+    out = sys.argv[1]
+    T = int(sys.argv[2])
+    H = int(sys.argv[3]) if len(sys.argv) > 3 else 188
+    W = int(sys.argv[4]) if len(sys.argv) > 4 else 620
+    rig = synthetic.make_stereo_rig()
+    poses = synthetic.forward_motion_poses(T, step=0.5, yaw_rate=0.0)
+    lefts, rights = synthetic.render_textured_stereo_sequence(
+        poses, H=H, W=W, rig=rig)
+    np.savez(out,
+             lefts=np.asarray(lefts, np.float32),
+             rights=np.asarray(rights, np.float32))
+
+
+if __name__ == "__main__":
+    main()

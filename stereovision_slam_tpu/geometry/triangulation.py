@@ -4,18 +4,24 @@ TPU-native equivalent of the reference's ``triangulation()``
 (/root/reference/include/StereoVisionSLAM/algorithm.h:10-87): for each
 correspondence pair on the two camera normal planes, build the 4x4 homogeneous
 system A w = 0 and take the null vector. Instead of a per-point dynamic-shape
-SVD loop, all points are solved in one batched ``jnp.linalg.svd`` over a
-(N, 4, 4) stack — one XLA op, vmap-free, mask-friendly.
+SVD loop, all points are solved in one batch — the null vector is the
+smallest-eigenvalue eigenvector of the Gram matrix A^T A, computed by the
+constant-free batched Jacobi eigensolver (geometry/symeig.py; using
+``jnp.linalg.svd`` here would embed qdwh coefficient tables as array
+constants, which the axon runtime executes ~100x slower — see
+docs/PERFORMANCE.md "array-constant cliff").
 
 Quality gate matches the reference: sigma_4 / sigma_3 < 1e-2 keeps the point
-(algorithm.h:79-86), plus the caller applies the depth gate 0 < z <= max_depth
-(frontend.cpp:186-189).
+(algorithm.h:79-86) with sigma_i(A) = sqrt(eig_i(A^T A)), plus the caller
+applies the depth gate 0 < z <= max_depth (frontend.cpp:186-189).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from stereovision_slam_tpu.geometry.symeig import symeig_small
 
 
 def triangulate(poses: jax.Array, points: jax.Array, sv_ratio_thresh: float = 1e-2):
@@ -42,9 +48,13 @@ def triangulate(poses: jax.Array, points: jax.Array, sv_ratio_thresh: float = 1e
     rows_y = y * p2[None] - p1[None]
     A = jnp.concatenate([rows_x, rows_y], axis=1)  # (N, 2C, 4)
 
-    # Batched thin SVD of (N, 2C, 4); null vector = last right-singular vector.
-    _, s, vt = jnp.linalg.svd(A, full_matrices=False)
-    w = vt[:, -1, :]                          # (N, 4)
+    # Null vector = eigenvector of the smallest eigenvalue of A^T A (4x4 PSD);
+    # eig_i(A^T A) = sigma_i(A)^2. symeig_small returns ascending order.
+    B = jnp.einsum("nri,nrj->nij", A, A)
+    lam, V = symeig_small(B)
+    lam = jnp.maximum(lam, 0.0)               # PSD: clamp tiny negatives
+    s = jnp.sqrt(lam[:, ::-1])                # descending singular values of A
+    w = V[:, :, 0]                            # (N, 4) smallest-eig eigenvector
     wh = w[:, 3]
     safe_wh = jnp.where(jnp.abs(wh) < 1e-12, 1.0, wh)
     xyz = w[:, :3] / safe_wh[:, None]

@@ -198,12 +198,23 @@ def build_sharded_ba(mesh: Mesh, K: int, F: int, L: int,
         return kf_pose, lm_pos
 
     @jax.jit
-    def run(m: mapmod.MapState, cam_left: Camera, cam_right: Camera):
-        obs = flatten_observations(m)
-        cam_obs = _blend_cameras(cam_left, cam_right, obs.is_right)
+    def _run(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
+             is_right: jax.Array):
+        obs = flatten_observations(m)._replace(is_right=is_right)
+        cam_obs = _blend_cameras(cam_left, cam_right, is_right)
         oldest = jnp.min(jnp.where(m.kf_valid, m.kf_id,
                                    jnp.iinfo(jnp.int32).max))
         kf_free = m.kf_valid & (m.kf_id != oldest)
         return ba_step(obs, cam_obs, m.kf_pose, m.lm_pos, kf_free)
+
+    # is_right is passed as a RUNTIME argument (not closed over): a
+    # trace-time-constant selector would constant-fold the blended camera
+    # into dense array constants in the executable, which the axon runtime
+    # executes ~100x slower (docs/PERFORMANCE.md "array-constant cliff").
+    import numpy as _np
+    _is_right = jax.device_put(_np.arange(M) >= K * F)
+
+    def run(m: mapmod.MapState, cam_left: Camera, cam_right: Camera):
+        return _run(m, cam_left, cam_right, _is_right)
 
     return run

@@ -81,7 +81,16 @@ def flatten_observations(m: mapmod.MapState) -> BAObservations:
 
 
 def _blend_cameras(cam_left: Camera, cam_right: Camera, is_right: jax.Array) -> Camera:
-    """Per-observation camera parameters selected by the left/right flag."""
+    """Per-observation camera parameters selected by the left/right flag.
+
+    `is_right` MUST be a traced argument, never a trace-time-known value: a
+    compile-time-constant selector constant-folds the blended fields into
+    dense array constants in the executable, which the axon runtime executes
+    ~100x slower (docs/PERFORMANCE.md "array-constant cliff"). The single-chip
+    solver therefore avoids this entirely (`_residuals_lr` processes the two
+    static halves with scalar cameras); only the dp-sharded distributed BA
+    uses it, with is_right passed in as a runtime argument.
+    """
     s = is_right
     sf = s.astype(cam_left.pose.dtype)
     return Camera(
@@ -106,6 +115,28 @@ def _residuals(cam_obs: Camera, kf_pose: jax.Array, lm_pos: jax.Array,
         cam_obs, T, P, obs.uv)
     in_front = p_cam[..., 2] > 1e-6
     return r, J_pose, J_point, in_front
+
+
+def _residuals_lr(cam_left: Camera, cam_right: Camera, kf_pose: jax.Array,
+                  lm_pos: jax.Array, obs: BAObservations):
+    """Residual + Jacobians, processing the static left/right halves with the
+    two scalar cameras directly (flatten_observations lays out left-camera
+    rows first, then right). Equivalent to `_residuals` with a blended
+    per-observation camera, but emits no per-observation camera arrays — and
+    therefore no constant-folded selector buffers (see `_blend_cameras`)."""
+    M = obs.kf.shape[0]
+    h = M // 2
+
+    def half(cam, sl):
+        T = kf_pose[obs.kf[sl]]
+        P = lm_pos[jnp.clip(obs.lm[sl], 0)]
+        r, J_pose, J_point, p_cam = jacobians.reprojection_residual_jac(
+            cam, T, P, obs.uv[sl])
+        return r, J_pose, J_point, p_cam[..., 2] > 1e-6
+
+    left = half(cam_left, slice(0, h))
+    right = half(cam_right, slice(h, M))
+    return tuple(jnp.concatenate([a, b], axis=0) for a, b in zip(left, right))
 
 
 def _assemble(r, J_pose, J_point, w, obs: BAObservations, K: int, L: int):
@@ -191,7 +222,6 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
     L = m.lm_valid.shape[0]
     dtype = m.kf_pose.dtype
     obs = flatten_observations(m)
-    cam_obs = _blend_cameras(cam_left, cam_right, obs.is_right)
     # g2o Huber delta = chi2_th (backend.cpp:150-152) acts on the error norm,
     # i.e. robustification starts at squared error chi2_th^2
     huber_d2 = jnp.asarray(chi2_th * chi2_th, dtype)
@@ -203,7 +233,8 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
     lm_active = m.lm_valid & (m.lm_obs_count > 0)
 
     def chi2_fn(kf_pose, lm_pos):
-        r, _, _, in_front = _residuals(cam_obs, kf_pose, lm_pos, obs)
+        r, _, _, in_front = _residuals_lr(cam_left, cam_right, kf_pose,
+                                          lm_pos, obs)
         c = jnp.sum(r * r, axis=-1)
         return jnp.where(obs.valid & in_front, c, 0.0), in_front
 
@@ -214,7 +245,8 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
 
     def lm_step(_, carry):
         kf_pose, lm_pos, lam = carry
-        r, J_pose, J_point, in_front = _residuals(cam_obs, kf_pose, lm_pos, obs)
+        r, J_pose, J_point, in_front = _residuals_lr(cam_left, cam_right,
+                                                     kf_pose, lm_pos, obs)
         c = jnp.sum(r * r, axis=-1)
         w = jacobians.huber_weight(c, huber_d2)
         w = jnp.where(obs.valid & in_front, w, 0.0)

@@ -41,7 +41,7 @@ from stereovision_slam_tpu.slam.fused import (
 
 _STATICS = ("num_levels", "num_features", "min_distance", "quality_level",
             "max_depth", "num_active", "kf_threshold", "bad_threshold",
-            "chi2_th", "backend_on", "ba_iters", "detector")
+            "chi2_th", "backend_on", "ba_iters", "detector", "init_branch")
 
 
 @partial(jax.jit, static_argnames=_STATICS, donate_argnums=(0, 1, 2, 3))
@@ -191,7 +191,10 @@ class BatchedFusedVisualOdometry:
             bad_threshold=cfg.num_features_tracking_bad,
             chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
             ba_iters=cfg.ba_lm_iters,
-            detector=cfg.keypoint_feature_detector.lower())
+            detector=cfg.keypoint_feature_detector.lower(),
+            # under vmap the init cond would run both branches per lane;
+            # streams are initialized host-side in initialize() instead
+            init_branch=False)
         for b in range(self.B):
             if self._alive[b]:
                 self.outputs[b].append((fids[b], jax.tree.map(

@@ -102,59 +102,125 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                      max_depth: float = 300.0, num_active: int = 10,
                      kf_threshold: int = 80, bad_threshold: int = 20,
                      chi2_th: float = 5.991, backend_on: bool = True,
-                     ba_iters: int = 10, detector: str = "gftt"):
+                     ba_iters: int = 10, detector: str = "gftt",
+                     num_features_init: int = 50, init_branch: bool = True):
     """One full SLAM frame as a single traced computation (unjitted — shared
     by the scalar `fused_step` and the vmapped `slam/batched.py` variant).
-    Returns (fs, ms, arc, kf_count, FrameOutputs)."""
+    Returns (fs, ms, arc, kf_count, FrameOutputs).
+
+    With `init_branch=True` (the streaming default), `kf_count < 0` marks an
+    uninitialized map and routes the frame through a DEVICE-SIDE StereoInit
+    (frontend.cpp:216-249): detect-all + triangulate + first keyframe, with
+    the "enough landmarks?" retry decision (`n_new >= num_features_init`)
+    taken on-device — the map reverts wholesale and kf_count stays -1 when
+    init fails, so the next frame retries. This keeps the streaming host loop
+    free of device->host value reads: on the axon runtime the FIRST such read
+    permanently flips dispatch into a ~30x slower synchronous mode
+    (docs/PERFORMANCE.md "readback cliff"), so the init decision must not be
+    made on the host. `slam/batched.py` passes init_branch=False: under vmap
+    the cond would execute both branches for every lane, and its host
+    initializer runs the init keyframe per stream up front instead."""
     pyr = tuple(imops.build_pyramid(left_img, num_levels))
     right_pyr = tuple(imops.build_pyramid(right_img, num_levels))
-    fs, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
-                                        right_pyr, cam_right,
-                                        chi2_th=chi2_th)
 
-    lost = n_in <= bad_threshold
-    want_kf = (n_in < kf_threshold) & ~lost
-
-    def do_kf(operands):
+    def do_track(operands):
         fs, ms, arc, kf_count = operands
-        kf_id = kf_count + 1
+        fs, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
+                                            right_pyr, cam_right,
+                                            chi2_th=chi2_th)
+
+        lost = n_in <= bad_threshold
+        want_kf = (n_in < kf_threshold) & ~lost
+
+        def do_kf(operands):
+            fs, ms, arc, kf_count = operands
+            kf_id = kf_count + 1
+            fs2, ms2, ev, n_new, n_r = fe.keyframe_step(
+                fs, ms, right_pyr, cam_left, cam_right, frame_id, kf_id,
+                num_features=num_features, min_distance=min_distance,
+                quality_level=quality_level, max_depth=max_depth,
+                num_active=num_active, detect_all=False, detector=detector)
+            if backend_on:
+                ms2, _ = optimize_window(ms2, cam_left, cam_right,
+                                         chi2_th=chi2_th, iters=ba_iters)
+                newest = jnp.argmax(jnp.where(ms2.kf_valid, ms2.kf_id, -1))
+                fs2 = fs2._replace(T_cur=ms2.kf_pose[newest])
+            arc2 = _archive_eviction(arc, ev)
+            # record/refresh the new keyframe in the archive
+            Tmax = arc2.kf_pose.shape[0]
+            slot = jnp.clip(kf_id, 0, Tmax - 1)
+            arc2 = arc2._replace(
+                kf_pose=arc2.kf_pose.at[slot].set(fs2.T_cur),
+                kf_frame_id=arc2.kf_frame_id.at[slot].set(
+                    frame_id.astype(jnp.int32)),
+                kf_set=arc2.kf_set.at[slot].set(True),
+            )
+            return fs2, ms2, arc2, kf_id
+
+        def no_kf(operands):
+            return operands
+
+        fs, ms, arc, kf_count = lax.cond(want_kf, do_kf, no_kf,
+                                         (fs, ms, arc, kf_count))
+        out = FrameOutputs(n_inliers=n_in, n_tracked=n_tracked,
+                           kf_inserted=want_kf, kf_count=kf_count,
+                           pose=fs.T_cur)
+        return fs, ms, arc, kf_count, out
+
+    if not init_branch:
+        return do_track((fs, ms, arc, kf_count))
+
+    def do_init(operands):
+        fs, ms, arc, kf_count = operands
+        # reset the frontend state through a runtime-opaque predicate
+        # (kf_count is a runtime argument; inside this branch it is < 0):
+        # a trace-time-known fresh state would let XLA constant-fold the
+        # detector's free-slot scan into a dense index table — an array
+        # constant, i.e. exactly the executable poison this design avoids
+        uninit = kf_count < 0
+        ident = se3.se3_identity(fs.T_cur.dtype)
+        fs0 = fe.FrontendState(
+            T_cur=jnp.where(uninit, ident, fs.T_cur),
+            T_rel=jnp.where(uninit, ident, fs.T_rel),
+            feat_uv=jnp.where(uninit, 0.0, fs.feat_uv),
+            feat_lm=jnp.where(uninit, -1, fs.feat_lm),
+            feat_valid=fs.feat_valid & ~uninit,
+            pyr=pyr,
+            ref_uv=jnp.where(uninit, 0.0, fs.ref_uv),
+            ref_pyr=pyr,
+        )
         fs2, ms2, ev, n_new, n_r = fe.keyframe_step(
-            fs, ms, right_pyr, cam_left, cam_right, frame_id, kf_id,
+            fs0, ms, right_pyr, cam_left, cam_right, frame_id,
+            jnp.zeros_like(kf_count),
             num_features=num_features, min_distance=min_distance,
             quality_level=quality_level, max_depth=max_depth,
-            num_active=num_active, detect_all=False, detector=detector)
-        if backend_on:
-            ms2, _ = optimize_window(ms2, cam_left, cam_right,
-                                     chi2_th=chi2_th, iters=ba_iters)
-            newest = jnp.argmax(jnp.where(ms2.kf_valid, ms2.kf_id, -1))
-            fs2 = fs2._replace(T_cur=ms2.kf_pose[newest])
-        arc2 = _archive_eviction(arc, ev)
-        # record/refresh the new keyframe in the archive
-        Tmax = arc2.kf_pose.shape[0]
-        slot = jnp.clip(kf_id, 0, Tmax - 1)
-        arc2 = arc2._replace(
-            kf_pose=arc2.kf_pose.at[slot].set(fs2.T_cur),
-            kf_frame_id=arc2.kf_frame_id.at[slot].set(
-                frame_id.astype(jnp.int32)),
-            kf_set=arc2.kf_set.at[slot].set(True),
+            num_active=num_active, detect_all=True, detector=detector)
+        ok = n_new >= num_features_init
+        # too few triangulated landmarks: revert the map wholesale and stay
+        # uninitialized — the next frame retries (frontend.cpp:216-249)
+        ms3 = jax.tree.map(lambda a, b: jnp.where(ok, a, b), ms2, ms)
+        Tmax = arc.kf_pose.shape[0]
+        slot0 = jnp.where(ok, 0, Tmax)  # dropped when init failed
+        arc2 = arc._replace(
+            kf_pose=arc.kf_pose.at[slot0].set(fs2.T_cur, mode="drop"),
+            kf_frame_id=arc.kf_frame_id.at[slot0].set(
+                frame_id.astype(jnp.int32), mode="drop"),
+            kf_set=arc.kf_set.at[slot0].set(True, mode="drop"),
         )
-        return fs2, ms2, arc2, kf_id
+        kfc = jnp.where(ok, 0, -1).astype(jnp.int32)
+        out = FrameOutputs(n_inliers=n_new.astype(jnp.int32),
+                           n_tracked=n_r.astype(jnp.int32),
+                           kf_inserted=ok, kf_count=kfc, pose=fs2.T_cur)
+        return fs2, ms3, arc2, kfc, out
 
-    def no_kf(operands):
-        return operands
-
-    fs, ms, arc, kf_count = lax.cond(want_kf, do_kf, no_kf,
-                                     (fs, ms, arc, kf_count))
-    out = FrameOutputs(n_inliers=n_in, n_tracked=n_tracked,
-                       kf_inserted=want_kf, kf_count=kf_count,
-                       pose=fs.T_cur)
-    return fs, ms, arc, kf_count, out
+    return lax.cond(kf_count < 0, do_init, do_track, (fs, ms, arc, kf_count))
 
 
 fused_step = partial(jax.jit, static_argnames=(
     "num_levels", "num_features", "min_distance", "quality_level",
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
-    "backend_on", "ba_iters", "detector"),
+    "backend_on", "ba_iters", "detector", "num_features_init",
+    "init_branch"),
     donate_argnums=(0, 1, 2, 3))(_fused_step_impl)
 
 
@@ -221,7 +287,6 @@ class FusedVisualOdometry:
         self.ms = None
         self.arc = None
         self.kf_count = None
-        self._initialized_map = False
         self._queue: list = []
 
     def initialize(self):
@@ -232,40 +297,29 @@ class FusedVisualOdometry:
         self.ms = mapmod.empty_map(cfg.max_keyframes_window, cfg.max_features,
                                    cfg.max_landmarks)
         self.arc = empty_archive(self.Tmax, self.Lmax)
-        self.kf_count = jnp.asarray(0, jnp.int32)
+        # kf_count < 0 marks "map not initialized": the fused program routes
+        # such frames through its device-side StereoInit branch, so the host
+        # never reads back an init-success flag (readbacks permanently
+        # degrade the axon runtime's dispatch — docs/PERFORMANCE.md)
+        self.kf_count = jnp.asarray(-1, jnp.int32)
         self._pyramid_fn = jax.jit(
             lambda img: tuple(imops.build_pyramid(img, cfg.lk_num_levels)))
 
-    def _stereo_init(self, frame):
-        """First keyframe via the classic keyframe program (one-off)."""
-        cfg = self.cfg
-        left = jnp.asarray(frame.left, jnp.float32)
-        right = jnp.asarray(frame.right, jnp.float32)
-        pyr = self._pyramid_fn(left)
-        self.fs = fe.init_state(cfg.max_features, pyr)
-        right_pyr = self._pyramid_fn(right)
-        self.fs, self.ms, ev, n_new, n_r = fe.keyframe_step(
-            self.fs, self.ms, right_pyr, self.cam_left, self.cam_right,
-            frame.frame_id, 0,
-            num_features=cfg.num_features, min_distance=cfg.gftt_min_distance,
-            quality_level=cfg.gftt_quality_level,
-            max_depth=cfg.max_triangulation_depth,
-            num_active=cfg.num_active_keyframes, detect_all=True,
-            detector=cfg.keypoint_feature_detector.lower())
-        if int(n_new) < cfg.num_features_init:
-            # not enough triangulated landmarks: stay uninitialized and retry
-            # on the next frame, like the classic pipeline (frontend.cpp:216-249).
-            # keyframe_step donated the old MapState, so rebuild a fresh one.
-            self.fs = None
-            self.ms = mapmod.empty_map(cfg.max_keyframes_window,
-                                       cfg.max_features, cfg.max_landmarks)
-            return
-        self.arc = self.arc._replace(
-            kf_pose=self.arc.kf_pose.at[0].set(self.fs.T_cur),
-            kf_frame_id=self.arc.kf_frame_id.at[0].set(frame.frame_id),
-            kf_set=self.arc.kf_set.at[0].set(True),
-        )
-        self._initialized_map = True
+    @property
+    def _initialized_map(self) -> bool:
+        """Whether StereoInit has succeeded. NOTE: forces a device->host
+        readback — fine for tests/interactive use, avoid in streaming loops
+        (it would trip the axon readback cliff)."""
+        return self.kf_count is not None and int(self.kf_count) >= 0
+
+    def _placeholder_state(self, left) -> fe.FrontendState:
+        """Shape-only FrontendState for the first call; the device-side init
+        branch replaces it with the real StereoInit result. Every leaf must
+        be a DISTINCT device buffer: the state pytree is donated, and donating
+        the same buffer twice (e.g. pyr and ref_pyr aliasing) is an error."""
+        fs = fe.init_state(self.cfg.max_features,
+                           self._pyramid_fn(jnp.zeros_like(left)))
+        return jax.tree.map(lambda a: jnp.asarray(a).copy(), fs)
 
     def _fill_queue(self) -> None:
         """Prefetch: enqueue host->device uploads a few frames ahead so the
@@ -286,11 +340,8 @@ class FusedVisualOdometry:
         if not self._queue:
             return False
         frame_id, left, right = self._queue.pop(0)
-        if not self._initialized_map:
-            from stereovision_slam_tpu.io.kitti import StereoFrame
-            self._stereo_init(StereoFrame(frame_id=frame_id, left=left,
-                                          right=right))
-            return True
+        if self.fs is None:
+            self.fs = self._placeholder_state(left)
         cfg = self.cfg
         self.fs, self.ms, self.arc, self.kf_count, out = fused_step(
             self.fs, self.ms, self.arc, self.kf_count, left, right,
@@ -305,7 +356,8 @@ class FusedVisualOdometry:
             bad_threshold=cfg.num_features_tracking_bad,
             chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
             ba_iters=cfg.ba_lm_iters,
-            detector=cfg.keypoint_feature_detector.lower())
+            detector=cfg.keypoint_feature_detector.lower(),
+            num_features_init=cfg.num_features_init)
         self.outputs.append((frame_id, out))
         return True
 
@@ -381,7 +433,8 @@ class ScanVisualOdometry(FusedVisualOdometry):
                 bad_threshold=cfg.num_features_tracking_bad,
                 chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
                 ba_iters=cfg.ba_lm_iters,
-                detector=cfg.keypoint_feature_detector.lower())
+                detector=cfg.keypoint_feature_detector.lower(),
+                num_features_init=cfg.num_features_init)
         return self._scan_fn
 
     def _next_chunk(self):
@@ -407,17 +460,15 @@ class ScanVisualOdometry(FusedVisualOdometry):
                 np.asarray(fids, np.int32), valid, n)
 
     def step(self) -> bool:
-        """One chunk (after the one-off stereo init on the first frame)."""
-        if not self._initialized_map:
-            frame = self.dataset.next_frame()
-            if frame is None:
-                return False
-            self._stereo_init(frame)
-            return True
+        """One chunk (stereo init happens inside the scan body's device-side
+        init branch on the first frame — with retry — since the per-frame
+        cond predicate is scalar inside `lax.scan`)."""
         chunk = self._next_chunk()
         if chunk is None:
             return False
         lefts, rights, fids, valid, n = chunk
+        if self.fs is None:
+            self.fs = self._placeholder_state(jnp.asarray(lefts[0]))
         scan_fn = self._ensure_scan_fn()
         self.fs, self.ms, self.arc, self.kf_count, outs = scan_fn(
             self.fs, self.ms, self.arc, self.kf_count,
