@@ -10,6 +10,12 @@ the TPU host each round:
 Exits non-zero and lists offenders if any per-frame program embeds an array
 constant (>= 2 elements; small s32/u32 index vectors allowlisted — measured
 benign). See docs/PERFORMANCE.md "array-constant cliff" for why this matters.
+
+Known-benign findings (measured clean, 2026-08-19; kept visible so changes
+stand out): optimize_pose_graph carries an f32[3,3] inside a while-body
+closed_call, and mnv2_embed_image carries small pred masks from XLA's conv
+SAME-padding lowering — compiler-internal constants inside control-flow
+bodies do not trip the cliff; entry-level folded DATA tables do.
 """
 
 import sys
@@ -46,7 +52,49 @@ def main() -> int:
     fs = fe.init_state(cfg.max_features, pyr)
     arc = fused.empty_archive(4096, 1 << 17)
 
+    from stereovision_slam_tpu.models import mobilenet_v2 as mnv2
+    from stereovision_slam_tpu.ops import stereo_bm, sor
+    from stereovision_slam_tpu.slam.pnp import pnp_ransac
+    from stereovision_slam_tpu.slam.pose_graph import (PoseGraph,
+                                                       optimize_pose_graph)
+
+    n_kf, n_edges = 64, 80
+    ident = jnp.broadcast_to(
+        jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1), (n_kf, 3, 4))
+    graph = PoseGraph(
+        poses=ident.copy(),
+        pose_valid=jnp.ones((n_kf,), bool),
+        edge_i=jnp.zeros((n_edges,), jnp.int32),
+        edge_j=jnp.ones((n_edges,), jnp.int32),
+        edge_meas=jnp.broadcast_to(
+            jnp.concatenate([jnp.eye(3), jnp.zeros((3, 1))], 1),
+            (n_edges, 3, 4)).copy(),
+        edge_valid=jnp.ones((n_edges,), bool),
+    )
+    mnv2_params = mnv2.init_params(jax.random.PRNGKey(0))
+
     programs = {
+        "pnp_ransac": lambda: pnp_ransac.lower(
+            rig[0], jnp.zeros((256, 3)), jnp.zeros((256, 2)),
+            jnp.ones((256,), bool), jax.random.PRNGKey(0),
+            reproj_threshold=5.991, num_hypotheses=128),
+        "optimize_pose_graph": lambda: optimize_pose_graph.lower(
+            graph, iters=4, cg_iters=20),
+        "mnv2_embed_image": lambda: mnv2.embed_image.lower(mnv2_params, img),
+        "embed_image_thumbnail": lambda: mnv2.embed_image_thumbnail.lower(img),
+        "stereo_bm": lambda: stereo_bm.compute_disparity.lower(
+            img, img, num_disparities=128, block_size=15),
+        "sor_knn_chunk": lambda: sor._mean_knn_chunk.lower(
+            jnp.zeros((512, 3)), jnp.zeros((2048, 3)), k=50),
+        "keyframe_step_fast": lambda: fe.keyframe_step.lower(
+            fs, ms, pyr, rig[0], rig[1], jnp.asarray(0, jnp.int32),
+            jnp.asarray(0, jnp.int32),
+            num_features=cfg.num_features,
+            min_distance=cfg.gftt_min_distance,
+            quality_level=cfg.gftt_quality_level,
+            max_depth=cfg.max_triangulation_depth,
+            num_active=cfg.num_active_keyframes, detect_all=True,
+            detector="fast"),
         "fused_step": lambda: fused.fused_step.lower(
             fs, ms, arc, jnp.asarray(-1, jnp.int32), img, img,
             jnp.asarray(0, jnp.int32), rig[0], rig[1],

@@ -103,9 +103,12 @@ def preprocess(img_gray: jax.Array) -> jax.Array:
     """Reference preprocessing: (H, W) grayscale [0,255] -> (1,224,224,3)."""
     img = imops.gaussian_blur(img_gray, 7)
     img = jax.image.resize(img, (224, 224), "linear")
-    rgb = jnp.stack([img, img, img], axis=-1)
-    mean = jnp.array([0.485, 0.456, 0.406])
-    return ((rgb - mean) / 255.0)[None]
+    # per-channel mean shift built from SCALAR constants: a literal
+    # jnp.array([...]) would embed a dense f32[3] constant in the executable,
+    # which the axon runtime executes pathologically (docs/PERFORMANCE.md
+    # "array-constant cliff")
+    rgb = jnp.stack([img - 0.485, img - 0.456, img - 0.406], axis=-1)
+    return (rgb / 255.0)[None]
 
 
 @jax.jit

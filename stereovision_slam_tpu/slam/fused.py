@@ -224,7 +224,7 @@ fused_step = partial(jax.jit, static_argnames=(
     donate_argnums=(0, 1, 2, 3))(_fused_step_impl)
 
 
-def build_scan_chunk(cam_left, cam_right, **static):
+def build_scan_chunk(**static):
     """Compile a `lax.scan` over a CHUNK of frames: one device dispatch per
     chunk instead of per frame.
 
@@ -234,14 +234,22 @@ def build_scan_chunk(cam_left, cam_right, **static):
     whole chunk — the TPU-native analogue of the reference's free-running
     main loop (visual_odometry.cpp:158-191) for offline/recorded sequences.
 
+    The cameras are ARGUMENTS of the returned function, not closure state:
+    closing over them bakes the rig pose arrays into the executable as array
+    constants, which the axon runtime executes ~100x slower and which poison
+    every subsequent dispatch (docs/PERFORMANCE.md "array-constant cliff" —
+    this was the root cause of the round-1 "scan-mode caveat").
+
     Returns a jitted fn
-        (fs, ms, arc, kf_count, lefts, rights, frame_ids, valid) ->
+        (fs, ms, arc, kf_count, cam_left, cam_right, lefts, rights,
+         frame_ids, valid) ->
         (fs, ms, arc, kf_count, FrameOutputs stacked over the chunk)
     where `valid[i]=False` (tail padding) passes state through untouched and
     emits a sentinel output (n_inliers = -1).
     """
 
-    def scan_chunk(fs, ms, arc, kf_count, lefts, rights, frame_ids, valid):
+    def scan_chunk(fs, ms, arc, kf_count, cam_left, cam_right,
+                   lefts, rights, frame_ids, valid):
         def body(carry, x):
             fs, ms, arc, kf_count = carry
             left, right, fid, ok = x
@@ -423,7 +431,6 @@ class ScanVisualOdometry(FusedVisualOdometry):
         if self._scan_fn is None:
             cfg = self.cfg
             self._scan_fn = build_scan_chunk(
-                self.cam_left, self.cam_right,
                 num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
                 min_distance=cfg.gftt_min_distance,
                 quality_level=cfg.gftt_quality_level,
@@ -472,6 +479,7 @@ class ScanVisualOdometry(FusedVisualOdometry):
         scan_fn = self._ensure_scan_fn()
         self.fs, self.ms, self.arc, self.kf_count, outs = scan_fn(
             self.fs, self.ms, self.arc, self.kf_count,
+            self.cam_left, self.cam_right,
             jnp.asarray(lefts), jnp.asarray(rights),
             jnp.asarray(fids), jnp.asarray(valid))
         self._pending_chunks.append((fids[:n], outs, n))

@@ -22,13 +22,42 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from stereovision_slam_tpu.geometry import se3
 from stereovision_slam_tpu.geometry.camera import Camera, pixel2camera
+from stereovision_slam_tpu.geometry.symeig import symeig_small
 from stereovision_slam_tpu.slam.pose_solver import solve_pose
 
 _PREC = jax.lax.Precision.HIGHEST
-MIN_SET = 6
+# Hypothesis sample size: 6 is the DLT minimum, but a minimal 6-point pose
+# DLT amplifies pixel noise catastrophically in f32 (measured: 0.5 px noise
+# -> median 1.7 m translation error). 10-point sets cut that ~5x while a
+# 128-256 hypothesis batch still contains plenty of outlier-free samples at
+# realistic inlier rates (0.8^10 ~ 11%).
+MIN_SET = 10
+
+
+def _smallest_eigvec(AtA: jax.Array, iters: int = 12) -> jax.Array:
+    """Smallest-eigenvalue eigenvector of a PSD (d, d) matrix by shifted
+    inverse iteration (LU solves). ``jnp.linalg.eigh`` is avoided on purpose:
+    its lowering embeds coefficient-table array constants, which the axon
+    runtime executes pathologically (docs/PERFORMANCE.md "array-constant
+    cliff"). Inverse iteration converges geometrically with ratio
+    lam_min/lam_2 — for DLT normal matrices of non-degenerate minimal sets
+    the gap is large; near-degenerate sets yield poor hypotheses that RANSAC
+    scoring discards anyway."""
+    d = AtA.shape[-1]
+    dtype = AtA.dtype
+    eps = 1e-6 * (jnp.trace(AtA) / d + 1e-30)
+    Ad = AtA + eps * jnp.eye(d, dtype=dtype)
+    v0 = jnp.full((d,), 1.0, dtype) / jnp.sqrt(jnp.asarray(float(d), dtype))
+
+    def body(_, v):
+        w = jnp.linalg.solve(Ad, v)
+        return w / jnp.maximum(jnp.linalg.norm(w), 1e-30)
+
+    return lax.fori_loop(0, iters, body, v0)
 
 
 def _dlt_pose(pts3d: jax.Array, xy_norm: jax.Array):
@@ -40,7 +69,16 @@ def _dlt_pose(pts3d: jax.Array, xy_norm: jax.Array):
 
     Returns (3, 4) world->camera transform (approximately SE(3))."""
     S = pts3d.shape[0]
-    X = jnp.concatenate([pts3d, jnp.ones((S, 1), pts3d.dtype)], axis=1)  # (S,4)
+    # Hartley normalization of the world points (center + RMS-sqrt(3) scale):
+    # without it the DLT normal matrix's eigenvalue spread swallows the
+    # null-space gap and the inverse iteration in _smallest_eigvec (and f32
+    # generally) cannot separate the null vector on wide-depth-range scenes
+    c = jnp.mean(pts3d, axis=0)
+    centered = pts3d - c
+    s = jnp.maximum(jnp.sqrt(jnp.mean(jnp.sum(centered * centered, axis=1))
+                             / 3.0), 1e-9)
+    Xn = centered / s
+    X = jnp.concatenate([Xn, jnp.ones((S, 1), pts3d.dtype)], axis=1)  # (S,4)
     zeros = jnp.zeros_like(X)
     x = xy_norm[:, 0:1]
     y = xy_norm[:, 1:2]
@@ -48,19 +86,32 @@ def _dlt_pose(pts3d: jax.Array, xy_norm: jax.Array):
     rows_y = jnp.concatenate([zeros, X, -y * X], axis=1)
     A = jnp.concatenate([rows_x, rows_y], axis=0)          # (2S, 12)
     AtA = A.T @ A
-    _, vecs = jnp.linalg.eigh(AtA)
-    p = vecs[:, 0]                                         # smallest eigvec
-    P = p.reshape(3, 4)
+    p = _smallest_eigvec(AtA)                              # null vector
+    Pn = p.reshape(3, 4)
+    # denormalize: Pn acts on (X - c)/s, so M = Mn/s, t = tn - Mn c / s
+    Mn = Pn[:, :3]
+    P = jnp.concatenate([Mn / s, (Pn[:, 3] - Mn @ c / s)[:, None]], axis=1)
 
     def orthonormalize(Pm):
-        """Project [M|t] onto SE(3): R from M's SVD, t rescaled to match."""
+        """Project [M|t] onto SE(3) via the polar decomposition, computed
+        with the constant-free Jacobi eigensolver: M^T M = V S^2 V^T gives
+        the SVD factors (U = M V S^-1), so R = U diag(1,1,s) V^T with
+        s = sign(det) — same result as the SVD route without jnp.linalg.svd
+        (whose qdwh tables would poison the executable)."""
         M = Pm[:, :3]
-        U, sv, Vt = jnp.linalg.svd(M)
-        detUV = jnp.linalg.det(U @ Vt)
-        D = jnp.diag(jnp.array([1.0, 1.0, 1.0], M.dtype)).at[2, 2].set(
-            jnp.sign(detUV))
-        R = U @ D @ Vt
-        scale = jnp.mean(sv) * jnp.sign(detUV)
+        lam, V = symeig_small((M.T @ M)[None])             # ascending
+        lam = jnp.maximum(lam[0], 0.0)
+        V = V[0]
+        sv = jnp.sqrt(lam)                                 # ascending sing.values
+        sv_safe = jnp.maximum(sv, 1e-12)
+        U = M @ V / sv_safe[None, :]
+        detM = jnp.linalg.det(M)
+        s = jnp.where(detM >= 0.0, 1.0, -1.0)
+        # flip the column of U paired with the SMALLEST singular value
+        # (index 0 in ascending order) when det < 0
+        flip = jnp.where(jnp.arange(3) == 0, s, 1.0).astype(M.dtype)
+        R = (U * flip[None, :]) @ V.T
+        scale = jnp.mean(sv) * s
         t = Pm[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
         return se3.se3_from_Rt(R, t)
 
@@ -125,9 +176,19 @@ def pnp_ransac(cam: Camera, pts3d: jax.Array, uv: jax.Array, valid: jax.Array,
     inliers0 = inl[best]
 
     # GN refinement on the best inlier set, in rig-pose parameterization
+    th2 = reproj_threshold * reproj_threshold
     T_rig0 = se3.se3_compose(se3.se3_inverse(cam.pose), T_cam)
-    T_rig, inliers, n_in = solve_pose(
-        cam, T_rig0, pts3d, uv, inliers0,
-        chi2_th=reproj_threshold * reproj_threshold,
-        rounds=refine_rounds, iters=10)
+    T_rig1, _, _ = solve_pose(cam, T_rig0, pts3d, uv, inliers0,
+                              chi2_th=th2, rounds=refine_rounds, iters=10)
+    # LO-RANSAC-style second stage: the refined pose is far better than the
+    # raw hypothesis, so RE-CLASSIFY over ALL candidates (the first stage's
+    # inlier set is capped by the hypothesis's own consensus) and solve once
+    # more — this recovers the full inlier set the way solvePnPRansac's
+    # final LM does (loopclosure.cpp:376-383)
+    from stereovision_slam_tpu.slam.pose_solver import _chi2
+    c1 = _chi2(cam, T_rig1, pts3d, uv)
+    inliers1 = valid & (c1 <= th2)
+    T_rig, inliers, n_in = solve_pose(cam, T_rig1, pts3d, uv, inliers1,
+                                      chi2_th=th2,
+                                      rounds=refine_rounds, iters=10)
     return T_rig, inliers, n_in
