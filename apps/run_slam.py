@@ -6,8 +6,15 @@ Equivalent of the reference app
 path (reference-format keys), defaulting to configs/default.yaml.
 
 Beyond the reference: --platform cpu|tpu backend override,
---checkpoint-every N (save full SLAM state every N frames), and
---resume PATH (continue a checkpointed run exactly where it stopped).
+--checkpoint-every N (save full SLAM state every N frames),
+--resume PATH (continue a checkpointed run exactly where it stopped), and
+--mode classic|fused|scan:
+  classic — the reference's interactive topology (viewer, loop closure,
+            per-frame status readback); the default;
+  fused   — maximum-throughput streaming (stereo-init + tracking + BA as one
+            zero-readback device program per frame; no viewer/loop closure);
+  scan    — fused semantics, one device dispatch per 32-frame chunk
+            (recorded sequences / slow host links).
 """
 
 import os
@@ -26,6 +33,14 @@ def main() -> int:
         del args[i:i + 2]
         import jax
         jax.config.update("jax_platforms", platform)
+    mode = "classic"
+    if "--mode" in args:
+        i = args.index("--mode")
+        mode = args[i + 1]
+        del args[i:i + 2]
+        if mode not in ("classic", "fused", "scan"):
+            print(f"Unknown --mode {mode}; expected classic|fused|scan")
+            return 1
     checkpoint_every, resume_path = 0, None
     if "--checkpoint-every" in args:
         i = args.index("--checkpoint-every")
@@ -57,6 +72,34 @@ def main() -> int:
     dataset = KittiDataset(cfg.dataset_dir, cfg.left_cam_index,
                            cfg.right_cam_index, bool(cfg.is_color_input))
     dataset.initialize()
+
+    if mode in ("fused", "scan"):
+        import time
+
+        import numpy as np
+
+        from stereovision_slam_tpu.slam import outputs as out_mod
+        from stereovision_slam_tpu.slam.fused import (FusedVisualOdometry,
+                                                      ScanVisualOdometry)
+        if checkpoint_every or resume_path:
+            print("--checkpoint-every/--resume require --mode classic")
+            return 1
+        cls = FusedVisualOdometry if mode == "fused" else ScanVisualOdometry
+        vo = cls(cfg, dataset)
+        vo.initialize()
+        t0 = time.perf_counter()
+        vo.run()
+        dt = time.perf_counter() - t0
+        keyframes, landmarks, frames = vo.drain()
+        kfs = [(fid, pose) for fid, pose in keyframes.values()]
+        lms = (np.stack(list(landmarks.values()))
+               if landmarks else np.zeros((0, 3), np.float32))
+        out = out_mod.save_slam_output(cfg.output_dir, cfg.dataset_dir,
+                                       cfg.left_cam_index, kfs, lms)
+        print(f"SLAM finished ({mode}): {len(keyframes)} keyframes, "
+              f"{len(landmarks)} landmarks, {len(frames) / dt:.2f} frames/s")
+        print(f"Output saved to {out}")
+        return 0
 
     backend = Backend(chi2_th=cfg.chi2_th, iters=cfg.ba_lm_iters,
                       outlier_rounds=cfg.ba_outlier_rounds) \

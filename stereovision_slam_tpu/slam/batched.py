@@ -10,13 +10,12 @@ the serving-throughput configuration for fleet/production workloads.
 
 Under vmap the per-stream keyframe `lax.cond` lowers to both-branches +
 select: every dispatch pays detection+triangulation+BA for all lanes even
-when only some insert a keyframe. Batching does amortize per-frame compute
-(measured per-frame device cost drops ~3x from B=1 to B=8), but on the
-axon tunnel the larger executables trip the runtime's degraded-dispatch
-cliff, so end-to-end aggregate throughput currently FALLS with B there —
-see the measured table in docs/PERFORMANCE.md ("Batched streams on axon").
-On standard TPU runtimes the amortization is expected to dominate; prefer
-the single-stream fused pipeline on axon.
+when only some insert a keyframe. Batching amortizes per-frame device cost
+(measured 3.25 -> 2.6 ms/frame from B=1 to B=2-4 on one v5e chip,
+docs/PERFORMANCE.md "Batched streams"); past B~4 the vmapped BA's
+(B, L, K, 6, 3) cross-blocks outgrow VMEM and throughput falls, so cap
+lanes-per-chip around 4 and shard additional streams over the mesh
+(`BatchedFusedVisualOdometry(mesh=...)`).
 
 Streams are fully independent (separate maps, archives, keyframe counters);
 per-stream results match the single-stream fused pipeline exactly (the

@@ -217,3 +217,42 @@ def test_render_outputs_cli(tmp_path):
     assert proc.returncode == 0, proc.stderr
     assert os.path.exists(os.path.join(out, "trajectory.png"))
     assert os.path.exists(os.path.join(out, "landmarks.png"))
+
+
+def test_run_slam_cli_fused_mode(kitti_dir, tmp_path):
+    """--mode fused drives the zero-readback streaming pipeline from the CLI
+    and writes the same keyframes.txt/landmarks.pcd outputs."""
+    root, poses = kitti_dir
+    out_dir = tmp_path / "out_fused"
+    out_dir.mkdir()
+    cfg = f"""
+dataset_dir: {root}
+left_cam_index: 0
+right_cam_index: 1
+is_color_input: 0
+output_dir: {out_dir}
+num_features: 60
+num_features_init: 15
+num_features_tracking: 20
+num_features_tracking_bad: 8
+num_features_needed_for_keyframe: 50
+max_triangulation_depth: 300.0
+num_active_keyframes: 5
+backend_on: 1
+chi2_th: 5.991
+loopclosure_on: 0
+visualizer_on: 0
+"""
+    cfg_path = tmp_path / "cfg_fused.yaml"
+    cfg_path.write_text(cfg)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "apps", "run_slam.py"),
+         str(cfg_path), "--mode", "fused"],
+        capture_output=True, text=True, timeout=400, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SLAM finished (fused)" in proc.stdout
+    runs = list(out_dir.iterdir())
+    assert len(runs) == 1
+    assert (runs[0] / "keyframes.txt").exists()
+    assert (runs[0] / "landmarks.pcd").exists()
