@@ -84,12 +84,44 @@ def main() -> int:
         if checkpoint_every or resume_path:
             print("--checkpoint-every/--resume require --mode classic")
             return 1
-        cls = FusedVisualOdometry if mode == "fused" else ScanVisualOdometry
-        vo = cls(cfg, dataset)
+        if mode == "fused" and cfg.loopclosure_on:
+            # device-side loop closure (slam/fused_loop.py): the whole
+            # loop-closure state machine runs inside the per-frame program
+            from stereovision_slam_tpu.slam.fused_loop import \
+                FusedLoopVisualOdometry
+            vo = FusedLoopVisualOdometry(
+                cfg, dataset, mnv2_weights_path=cfg.dnn_weights_path)
+        else:
+            cls = (FusedVisualOdometry if mode == "fused"
+                   else ScanVisualOdometry)
+            vo = cls(cfg, dataset)
         vo.initialize()
         t0 = time.perf_counter()
         vo.run()
         dt = time.perf_counter() - t0
+        if (hasattr(vo, "run_pgo")
+                and int(cfg.global_pose_graph_optimization)):
+            pgo_traj = vo.run_pgo()
+            n_loops = len(vo.loop_edges())
+            print(f"Loop closure: {n_loops} loop(s) closed"
+                  + (", global PGO applied" if n_loops else ""))
+            if n_loops:
+                keyframes, landmarks, frames = vo.drain()
+                kfs = [(fid, pgo_traj[fid])
+                       for fid, _ in keyframes.values()]
+                lms_d = getattr(vo, "_pgo_landmarks", None) or landmarks
+                import numpy as np
+                lms = (np.stack(list(lms_d.values()))
+                       if lms_d else np.zeros((0, 3), np.float32))
+                from stereovision_slam_tpu.slam import outputs as out_mod
+                out = out_mod.save_slam_output(
+                    cfg.output_dir, cfg.dataset_dir, cfg.left_cam_index,
+                    kfs, lms)
+                print(f"SLAM finished ({mode}+loop): {len(keyframes)} "
+                      f"keyframes, {len(lms_d)} landmarks, "
+                      f"{len(frames) / dt:.2f} frames/s")
+                print(f"Output saved to {out}")
+                return 0
         keyframes, landmarks, frames = vo.drain()
         kfs = [(fid, pose) for fid, pose in keyframes.values()]
         lms = (np.stack(list(landmarks.values()))

@@ -95,6 +95,7 @@ def main() -> int:
             max_depth=cfg.max_triangulation_depth,
             num_active=cfg.num_active_keyframes, detect_all=True,
             detector="fast"),
+        "fused_lc_step": lambda: _lower_fused_lc(),
         "fused_step": lambda: fused.fused_step.lower(
             fs, ms, arc, jnp.asarray(-1, jnp.int32), img, img,
             jnp.asarray(0, jnp.int32), rig[0], rig[1],
@@ -121,6 +122,33 @@ def main() -> int:
         "optimize_window": lambda: optimize_window.lower(
             ms, rig[0], rig[1], chi2_th=cfg.chi2_th, iters=cfg.ba_lm_iters),
     }
+
+    def _lower_fused_lc():
+        from stereovision_slam_tpu.slam import fused_loop
+        ls = fused_loop.empty_loop_state(256, cfg.max_features)
+        return fused_loop.fused_lc_step.lower(
+            fs, ms, fused.empty_archive(256, 4096),
+            jnp.asarray(-1, jnp.int32), ls, img, img,
+            jnp.asarray(0, jnp.int32), rig[0], rig[1], None,
+            num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
+            min_distance=cfg.gftt_min_distance,
+            quality_level=cfg.gftt_quality_level,
+            max_depth=cfg.max_triangulation_depth,
+            num_active=cfg.num_active_keyframes,
+            kf_threshold=cfg.num_features_needed_for_keyframe,
+            bad_threshold=cfg.num_features_tracking_bad,
+            chi2_th=cfg.chi2_th, backend_on=True, ba_iters=cfg.ba_lm_iters,
+            detector="gftt", num_features_init=cfg.num_features_init,
+            skip=cfg.keyframes_to_skip_in_candidate_search,
+            cooldown=cfg.keyframes_to_ignore_after_loop,
+            strong=cfg.potential_loop_strong_threshold,
+            weak=cfg.potential_loop_weak_threshold,
+            max_weak=cfg.max_num_weak_threshold,
+            min_match=cfg.min_num_acceptable_keypoint_match,
+            min_pose_diff=cfg.min_pose_differnece_between_old_new,
+            max_pose_diff=cfg.max_pose_differnece_between_old_new,
+            max_loop_dist=cfg.max_pose_distance_between_loop_keyframes,
+            num_hypotheses=256)
 
     failed = False
     for name, build in programs.items():

@@ -62,8 +62,18 @@ def orientations(img: jax.Array, pts: jax.Array):
     return m10 / safe, m01 / safe, valid
 
 
-def compute(img: jax.Array, pts: jax.Array, valid: jax.Array | None = None):
+def compute(img: jax.Array, pts: jax.Array, valid: jax.Array | None = None,
+            pattern: jax.Array | None = None):
     """Descriptors for (N, 2) keypoints on an (H, W) image.
+
+    Args:
+      pattern: optional (N_BITS, 4) sampling-pair offsets. Defaults to the
+        module pattern — fine for EAGER calls (the array is then an input
+        buffer), but callers that trace `compute` inside a jitted program
+        MUST pass the pattern as a runtime argument: a closed-over module
+        array becomes a dense constant in the executable, which the axon
+        runtime executes pathologically (docs/PERFORMANCE.md
+        "array-constant cliff").
 
     Returns:
       desc: (N, N_WORDS) uint32 packed binary descriptors.
@@ -72,13 +82,15 @@ def compute(img: jax.Array, pts: jax.Array, valid: jax.Array | None = None):
     n = pts.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
+    if pattern is None:
+        pattern = _PATTERN
     # ORB smooths with an integral-image box blur; gaussian is equivalent here
     smooth = imops.gaussian_blur(img, 5)
     ca, sa, pv = orientations(smooth, pts)
 
     # rotate the pattern by the keypoint orientation: (N, N_BITS, 4)
-    px0, py0, px1, py1 = (_PATTERN[:, 0], _PATTERN[:, 1],
-                          _PATTERN[:, 2], _PATTERN[:, 3])
+    px0, py0, px1, py1 = (pattern[:, 0], pattern[:, 1],
+                          pattern[:, 2], pattern[:, 3])
 
     def rot(px, py):
         x = ca[:, None] * px[None, :] - sa[:, None] * py[None, :]

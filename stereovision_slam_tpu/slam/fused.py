@@ -103,7 +103,8 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                      kf_threshold: int = 80, bad_threshold: int = 20,
                      chi2_th: float = 5.991, backend_on: bool = True,
                      ba_iters: int = 10, detector: str = "gftt",
-                     num_features_init: int = 50, init_branch: bool = True):
+                     num_features_init: int = 50, init_branch: bool = True,
+                     kf_hook=None, hook_state=None):
     """One full SLAM frame as a single traced computation (unjitted — shared
     by the scalar `fused_step` and the vmapped `slam/batched.py` variant).
     Returns (fs, ms, arc, kf_count, FrameOutputs).
@@ -122,9 +123,11 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
     initializer runs the init keyframe per stream up front instead."""
     pyr = tuple(imops.build_pyramid(left_img, num_levels))
     right_pyr = tuple(imops.build_pyramid(right_img, num_levels))
+    if hook_state is None:
+        hook_state = jnp.zeros((), jnp.int32)  # placeholder carried through
 
     def do_track(operands):
-        fs, ms, arc, kf_count = operands
+        fs, ms, arc, kf_count, hook_state = operands
         fs, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
                                             right_pyr, cam_right,
                                             chi2_th=chi2_th)
@@ -133,7 +136,7 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
         want_kf = (n_in < kf_threshold) & ~lost
 
         def do_kf(operands):
-            fs, ms, arc, kf_count = operands
+            fs, ms, arc, kf_count, hook_state = operands
             kf_id = kf_count + 1
             fs2, ms2, ev, n_new, n_r = fe.keyframe_step(
                 fs, ms, right_pyr, cam_left, cam_right, frame_id, kf_id,
@@ -145,6 +148,12 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                                          chi2_th=chi2_th, iters=ba_iters)
                 newest = jnp.argmax(jnp.where(ms2.kf_valid, ms2.kf_id, -1))
                 fs2 = fs2._replace(T_cur=ms2.kf_pose[newest])
+            if kf_hook is not None:
+                # keyframe-rate extension point (device-side loop closure,
+                # slam/fused_loop.py): may correct poses/landmarks, so it
+                # runs after BA and before the archive update
+                fs2, ms2, hook_state = kf_hook(hook_state, fs2, ms2, pyr,
+                                               frame_id, kf_id)
             arc2 = _archive_eviction(arc, ev)
             # record/refresh the new keyframe in the archive
             Tmax = arc2.kf_pose.shape[0]
@@ -155,23 +164,29 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                     frame_id.astype(jnp.int32)),
                 kf_set=arc2.kf_set.at[slot].set(True),
             )
-            return fs2, ms2, arc2, kf_id
+            return fs2, ms2, arc2, kf_id, hook_state
 
         def no_kf(operands):
             return operands
 
-        fs, ms, arc, kf_count = lax.cond(want_kf, do_kf, no_kf,
-                                         (fs, ms, arc, kf_count))
+        fs, ms, arc, kf_count, hook_state = lax.cond(
+            want_kf, do_kf, no_kf, (fs, ms, arc, kf_count, hook_state))
         out = FrameOutputs(n_inliers=n_in, n_tracked=n_tracked,
                            kf_inserted=want_kf, kf_count=kf_count,
                            pose=fs.T_cur)
-        return fs, ms, arc, kf_count, out
+        return fs, ms, arc, kf_count, hook_state, out
+
+    def _strip(res):
+        fs, ms, arc, kf_count, hook_state2, out = res
+        if kf_hook is None:
+            return fs, ms, arc, kf_count, out
+        return fs, ms, arc, kf_count, hook_state2, out
 
     if not init_branch:
-        return do_track((fs, ms, arc, kf_count))
+        return _strip(do_track((fs, ms, arc, kf_count, hook_state)))
 
     def do_init(operands):
-        fs, ms, arc, kf_count = operands
+        fs, ms, arc, kf_count, hook_state = operands
         # reset the frontend state through a runtime-opaque predicate
         # (kf_count is a runtime argument; inside this branch it is < 0):
         # a trace-time-known fresh state would let XLA constant-fold the
@@ -211,9 +226,12 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
         out = FrameOutputs(n_inliers=n_new.astype(jnp.int32),
                            n_tracked=n_r.astype(jnp.int32),
                            kf_inserted=ok, kf_count=kfc, pose=fs2.T_cur)
-        return fs2, ms3, arc2, kfc, out
+        # the init keyframe is not fed to the hook (the reference's loop
+        # closure only sees InsertKeyframe keyframes, frontend.cpp:631-635)
+        return fs2, ms3, arc2, kfc, hook_state, out
 
-    return lax.cond(kf_count < 0, do_init, do_track, (fs, ms, arc, kf_count))
+    return _strip(lax.cond(kf_count < 0, do_init, do_track,
+                           (fs, ms, arc, kf_count, hook_state)))
 
 
 fused_step = partial(jax.jit, static_argnames=(

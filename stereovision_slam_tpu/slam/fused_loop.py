@@ -1,0 +1,383 @@
+"""Device-side loop closure for the fused streaming pipeline.
+
+The reference runs loop closure on a worker thread that polls a keyframe
+waitlist (/root/reference/src/loopclosure.cpp:801-879). The classic pipeline
+(slam/loop_closure.py) keeps that host-orchestrated shape; this module is the
+TPU-native end state: the ENTIRE loop-closure pipeline — place-recognition
+embedding, the similarity scan over every processed keyframe, ORB matching,
+PnP RANSAC geometric verification, the pose gates, rigid local fusion and
+duplicate-landmark merging — runs INSIDE the fused frame program, as a
+keyframe hook (slam/fused.py `kf_hook`) under the keyframe `lax.cond`.
+
+Why: the streaming pipeline performs zero device->host readbacks (on the
+axon runtime the first readback permanently degrades dispatch ~30x,
+docs/PERFORMANCE.md "readback cliff"), so the host cannot even learn that a
+keyframe was inserted without paying that price. Keeping the whole
+loop-closure state machine on device preserves the zero-readback property
+AND the reference's capability set: per loopclosure.cpp semantics, candidate
+= argmax embedding similarity skipping the last `keyframes_to_skip` ids
+(:227-284) gated by strong/weak thresholds, Hamming match gate (:286-326),
+PnP with reprojection threshold + pose-difference gates (:328-437), rigid
+LocalFusion + landmark merge (:439-582), closure cooldown (:182-198).
+
+The loop database is a fixed-capacity device pytree indexed directly by
+keyframe id (embeddings, descriptors, landmark snapshots, poses). Closed
+loops append to a device edge buffer; the host drains it once at shutdown
+and runs the global pose-graph optimization (loopclosure.cpp:641-799) —
+PGO is a one-shot offline step in the reference too.
+
+Embedder: the weight-free thumbnail embedder by default (this environment
+ships no MobileNet weights — models/mobilenet_v2.py); pass
+`mnv2_params` to use MobileNet-V2 embeddings (same 1280-d database layout).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from stereovision_slam_tpu.geometry import se3
+from stereovision_slam_tpu.models import mobilenet_v2 as mnv2
+from stereovision_slam_tpu.ops import descriptors, matching
+from stereovision_slam_tpu.slam import fused
+from stereovision_slam_tpu.slam import map_state as mapmod
+from stereovision_slam_tpu.slam.config import SlamConfig
+from stereovision_slam_tpu.slam.pnp import pnp_ransac
+
+EMBED_DIM = mnv2.EMBED_DIM  # 1280 (loopclosure.cpp:92-129)
+
+
+class LoopState(NamedTuple):
+    """Device-resident loop-closure database + edge log (indexed by kf id)."""
+    db_embed: jax.Array     # (T, 1280) L2-normalized place embeddings
+    db_desc: jax.Array      # (T, F, W) uint32 packed ORB descriptors
+    db_desc_ok: jax.Array   # (T, F)
+    db_uv: jax.Array        # (T, F, 2) feature pixels
+    db_lm_pos: jax.Array    # (T, F, 3) landmark snapshot per feature (world)
+    db_lm_has: jax.Array    # (T, F)
+    db_lm_id: jax.Array     # (T, F) global landmark ids
+    db_lm_first: jax.Array  # (T, F) first-observer keyframe ids
+    db_pose: jax.Array      # (T, 3, 4) pose at processing time
+    db_valid: jax.Array     # (T,)
+    # closed-loop edge log (drained by the host at shutdown for PGO)
+    loop_i: jax.Array       # (E,) current keyframe id
+    loop_j: jax.Array       # (E,) loop keyframe id
+    loop_rel: jax.Array     # (E, 3, 4) corrected T_i * T_j^-1
+    n_loops: jax.Array      # () int32
+    last_closed: jax.Array  # () int32 kf id, -1 = never
+    last_score: jax.Array   # () f32 — latest deep-similarity score
+    pattern: jax.Array      # (N_BITS, 4) descriptor sampling offsets (runtime
+    #                         data: closing over it would bake an array
+    #                         constant into the executable — the cliff)
+
+
+def empty_loop_state(Tmax: int, F: int, max_loop_edges: int = 512,
+                     dtype=jnp.float32) -> LoopState:
+    W = descriptors.N_WORDS
+    return LoopState(
+        db_embed=jnp.zeros((Tmax, EMBED_DIM), dtype),
+        db_desc=jnp.zeros((Tmax, F, W), jnp.uint32),
+        db_desc_ok=jnp.zeros((Tmax, F), bool),
+        db_uv=jnp.zeros((Tmax, F, 2), dtype),
+        db_lm_pos=jnp.zeros((Tmax, F, 3), dtype),
+        db_lm_has=jnp.zeros((Tmax, F), bool),
+        db_lm_id=jnp.full((Tmax, F), -1, jnp.int32),
+        db_lm_first=jnp.full((Tmax, F), -1, jnp.int32),
+        db_pose=jnp.zeros((Tmax, 3, 4), dtype),
+        db_valid=jnp.zeros((Tmax,), bool),
+        loop_i=jnp.full((max_loop_edges,), -1, jnp.int32),
+        loop_j=jnp.full((max_loop_edges,), -1, jnp.int32),
+        loop_rel=jnp.zeros((max_loop_edges, 3, 4), dtype),
+        n_loops=jnp.asarray(0, jnp.int32),
+        last_closed=jnp.asarray(-1, jnp.int32),
+        last_score=jnp.asarray(0.0, dtype),
+        pattern=jnp.asarray(descriptors._make_pattern()),
+    )
+
+
+def _loop_hook(ls: LoopState, fs, ms, pyr, frame_id, kf_id, *,
+               cam_left, mnv2_params, skip: int, cooldown: int,
+               strong: float, weak: float, max_weak: int, min_match: int,
+               min_pose_diff: float, max_pose_diff: float,
+               max_loop_dist: float, num_hypotheses: int):
+    """The keyframe-rate loop-closure pipeline, traced into the fused step."""
+    left_img = pyr[0]
+    Tdb = ls.db_embed.shape[0]
+
+    # --- 1. place-recognition embedding (loopclosure.cpp:92-129) ---
+    if mnv2_params is not None:
+        emb = mnv2.embed(mnv2_params, mnv2.preprocess(left_img))[0]
+    else:
+        emb = mnv2.embed_image_thumbnail(left_img)
+
+    # --- 2. ORB descriptors for the keyframe's features (:131-171) ---
+    desc, desc_ok = descriptors.compute(left_img, fs.feat_uv, fs.feat_valid,
+                                        pattern=ls.pattern)
+
+    # --- 3. candidate scan: one matvec over the whole database (:227-284) ---
+    ids = lax.broadcasted_iota(jnp.int32, (Tdb,), 0)
+    mask = ls.db_valid & (kf_id - ids >= skip)
+    sims = jnp.where(mask, ls.db_embed @ emb, -jnp.inf)
+    best = jnp.argmax(sims)
+    best_sim = sims[best]
+    weak_count = jnp.sum(sims > weak)
+    in_cooldown = (ls.last_closed >= 0) & (kf_id - ls.last_closed <= cooldown)
+    has_any = jnp.any(mask)
+    candidate_ok = (has_any & ~in_cooldown & (best_sim >= strong)
+                    & (weak_count <= max_weak))
+    ls = ls._replace(last_score=jnp.maximum(
+        jnp.where(has_any, best_sim, 0.0), 0.0).astype(ls.last_score.dtype))
+
+    # --- 4. geometric verification + fusion, only when a candidate fires ---
+    def attempt(ops):
+        fs, ms, ls = ops
+        cand_desc = ls.db_desc[best]
+        cand_ok = ls.db_desc_ok[best]
+        cand_lm_has = ls.db_lm_has[best]
+        idx, dist, good = matching.match(cand_desc, cand_ok, desc, desc_ok)
+        usable = good & cand_lm_has
+        n_match = jnp.sum(usable)
+
+        # PnP RANSAC: candidate landmarks vs current pixels (:328-437)
+        T_corr, inl, n_in = pnp_ransac(
+            cam_left, ls.db_lm_pos[best], fs.feat_uv[jnp.clip(idx, 0)],
+            usable, jax.random.PRNGKey(kf_id),
+            reproj_threshold=5.991, num_hypotheses=num_hypotheses)
+
+        loop_rel = se3.se3_compose(
+            T_corr, se3.se3_inverse(ls.db_pose[best]))
+        pose_diff = se3.se3_distance(fs.T_cur, T_corr)
+        accept = ((n_match >= min_match) & (n_in >= min_match)
+                  & (jnp.linalg.norm(se3.se3_log(loop_rel)) <= max_loop_dist)
+                  & (pose_diff <= max_pose_diff)
+                  & jnp.all(jnp.isfinite(T_corr)))
+        need_corr = accept & (pose_diff > min_pose_diff)
+
+        # record the loop edge (:273-277 analogue)
+        Emax = ls.loop_i.shape[0]
+        e = jnp.where(accept, jnp.clip(ls.n_loops, 0, Emax - 1), Emax)
+        ls = ls._replace(
+            loop_i=ls.loop_i.at[e].set(kf_id.astype(jnp.int32), mode="drop"),
+            loop_j=ls.loop_j.at[e].set(best.astype(jnp.int32), mode="drop"),
+            loop_rel=ls.loop_rel.at[e].set(loop_rel, mode="drop"),
+            n_loops=ls.n_loops + accept.astype(jnp.int32),
+            last_closed=jnp.where(accept, kf_id.astype(jnp.int32),
+                                  ls.last_closed),
+        )
+
+        def correct(ops):
+            fs, ms = ops
+            # rigid LocalFusion (:439-582): one world transform D
+            D = se3.se3_compose(se3.se3_inverse(fs.T_cur), T_corr)
+            Dinv = se3.se3_inverse(D)
+            kf_new = se3.se3_compose(ms.kf_pose, D[None])
+            lm_new = se3.se3_apply(Dinv[None], ms.lm_pos)
+            ms = ms._replace(
+                kf_pose=jnp.where(ms.kf_valid[:, None, None], kf_new,
+                                  ms.kf_pose),
+                lm_pos=jnp.where(ms.lm_valid[:, None], lm_new, ms.lm_pos),
+            )
+            fs = fs._replace(T_cur=se3.se3_compose(fs.T_cur, D))
+            # duplicate-landmark merge against the loop keyframe (:531-574)
+            kf_slot = jnp.argmax(jnp.where(ms.kf_valid, ms.kf_id, -1))
+            ms, new_feat_lm = mapmod.merge_loop_landmarks(
+                ms, fs.feat_lm, fs.feat_valid, kf_slot, idx,
+                usable & inl, ls.db_lm_pos[best], ls.db_lm_id[best],
+                ls.db_lm_first[best])
+            return fs._replace(feat_lm=new_feat_lm), ms
+
+        fs, ms = lax.cond(need_corr, correct, lambda o: o, (fs, ms))
+        return fs, ms, ls
+
+    fs, ms, ls = lax.cond(candidate_ok, attempt, lambda o: o, (fs, ms, ls))
+
+    # --- 5. insert this keyframe into the database (post-correction) ---
+    safe = jnp.clip(fs.feat_lm, 0, ms.lm_pos.shape[0] - 1)
+    lm_has = fs.feat_valid & (fs.feat_lm >= 0) & ms.lm_valid[safe]
+    slot = jnp.clip(kf_id, 0, Tdb - 1)
+    ls = ls._replace(
+        db_embed=ls.db_embed.at[slot].set(emb),
+        db_desc=ls.db_desc.at[slot].set(desc),
+        db_desc_ok=ls.db_desc_ok.at[slot].set(desc_ok),
+        db_uv=ls.db_uv.at[slot].set(fs.feat_uv),
+        db_lm_pos=ls.db_lm_pos.at[slot].set(ms.lm_pos[safe]),
+        db_lm_has=ls.db_lm_has.at[slot].set(lm_has),
+        db_lm_id=ls.db_lm_id.at[slot].set(
+            jnp.where(lm_has, ms.lm_id[safe], -1)),
+        db_lm_first=ls.db_lm_first.at[slot].set(
+            jnp.where(lm_has, ms.lm_first_kf[safe], -1)),
+        db_pose=ls.db_pose.at[slot].set(fs.T_cur),
+        db_valid=ls.db_valid.at[slot].set(True),
+    )
+    return fs, ms, ls
+
+
+def _fused_lc_impl(fs, ms, arc, kf_count, ls, left_img, right_img, frame_id,
+                   cam_left, cam_right, mnv2_params=None, **statics):
+    loop_statics = {k: statics.pop(k) for k in (
+        "skip", "cooldown", "strong", "weak", "max_weak", "min_match",
+        "min_pose_diff", "max_pose_diff", "max_loop_dist", "num_hypotheses")}
+    hook = partial(_loop_hook, cam_left=cam_left, mnv2_params=mnv2_params,
+                   **loop_statics)
+    return fused._fused_step_impl(
+        fs, ms, arc, kf_count, left_img, right_img, frame_id,
+        cam_left, cam_right, kf_hook=hook, hook_state=ls, **statics)
+
+
+_LC_STATICS = (
+    "num_levels", "num_features", "min_distance", "quality_level",
+    "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
+    "backend_on", "ba_iters", "detector", "num_features_init", "init_branch",
+    "skip", "cooldown", "strong", "weak", "max_weak", "min_match",
+    "min_pose_diff", "max_pose_diff", "max_loop_dist", "num_hypotheses")
+
+fused_lc_step = partial(jax.jit, static_argnames=_LC_STATICS,
+                        donate_argnums=(0, 1, 2, 3, 4))(_fused_lc_impl)
+
+
+class LoopEdgeRecord(NamedTuple):
+    kf_id: int
+    loop_kf_id: int
+    relative_pose: np.ndarray
+
+
+class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
+    """Streaming SLAM with in-program loop closure: the full reference
+    capability set (tracking + BA + loop closure + shutdown PGO) at streaming
+    speed, zero readbacks until drain.
+
+    `run_pgo()` after the sequence performs the reference's one-shot global
+    pose-graph optimization over the drained keyframes + loop edges
+    (loopclosure.cpp:641-799) and returns the optimized trajectory.
+    """
+
+    def __init__(self, cfg: SlamConfig, dataset, mnv2_weights_path=None,
+                 max_loop_edges: int = 512, **kw):
+        super().__init__(cfg, dataset, **kw)
+        self.max_loop_edges = max_loop_edges
+        import os
+        self.mnv2_params = None
+        if mnv2_weights_path and os.path.exists(mnv2_weights_path):
+            self.mnv2_params = mnv2.get_params(mnv2_weights_path)
+        self.ls: LoopState | None = None
+
+    def initialize(self):
+        super().initialize()
+        self.ls = empty_loop_state(self.Tmax, self.cfg.max_features,
+                                   self.max_loop_edges)
+
+    def step(self) -> bool:
+        self._fill_queue()
+        if not self._queue:
+            return False
+        frame_id, left, right = self._queue.pop(0)
+        if self.fs is None:
+            self.fs = self._placeholder_state(left)
+        cfg = self.cfg
+        (self.fs, self.ms, self.arc, self.kf_count, self.ls,
+         out) = fused_lc_step(
+            self.fs, self.ms, self.arc, self.kf_count, self.ls, left, right,
+            jnp.asarray(frame_id, jnp.int32),
+            self.cam_left, self.cam_right, self.mnv2_params,
+            num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
+            min_distance=cfg.gftt_min_distance,
+            quality_level=cfg.gftt_quality_level,
+            max_depth=cfg.max_triangulation_depth,
+            num_active=cfg.num_active_keyframes,
+            kf_threshold=cfg.num_features_needed_for_keyframe,
+            bad_threshold=cfg.num_features_tracking_bad,
+            chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
+            ba_iters=cfg.ba_lm_iters,
+            detector=cfg.keypoint_feature_detector.lower(),
+            num_features_init=cfg.num_features_init,
+            skip=cfg.keyframes_to_skip_in_candidate_search,
+            cooldown=cfg.keyframes_to_ignore_after_loop,
+            strong=cfg.potential_loop_strong_threshold,
+            weak=cfg.potential_loop_weak_threshold,
+            max_weak=cfg.max_num_weak_threshold,
+            min_match=cfg.min_num_acceptable_keypoint_match,
+            min_pose_diff=cfg.min_pose_differnece_between_old_new,
+            max_pose_diff=cfg.max_pose_differnece_between_old_new,
+            max_loop_dist=cfg.max_pose_distance_between_loop_keyframes,
+            num_hypotheses=256)
+        self.outputs.append((frame_id, out))
+        return True
+
+    # ------------------------------------------------------------------ #
+
+    def loop_edges(self) -> list[LoopEdgeRecord]:
+        """Drain the device edge log (reads back — call after streaming)."""
+        ls = self.ls
+        n = int(ls.n_loops)
+        li = np.asarray(ls.loop_i[:n])
+        lj = np.asarray(ls.loop_j[:n])
+        rel = np.asarray(ls.loop_rel[:n])
+        return [LoopEdgeRecord(int(a), int(b), r)
+                for a, b, r in zip(li, lj, rel)]
+
+    def run_pgo(self, iters: int = 22):
+        """Global pose-graph optimization over the full trajectory
+        (loopclosure.cpp:641-799): consecutive odometry edges + the device-
+        recorded loop edges; keyframe poses written back, landmarks
+        re-anchored via their first observing keyframe.
+
+        Returns {frame_id: (3, 4) pose} of the optimized trajectory.
+        """
+        from stereovision_slam_tpu.slam.pose_graph import (
+            PoseGraph, optimize_pose_graph, reanchor_landmarks)
+
+        edges = self.loop_edges()
+        keyframes, landmarks, _ = self.drain()
+        kf_ids = sorted(keyframes.keys())
+        if len(kf_ids) < 3 or not edges:
+            return {fid: pose for fid, pose in keyframes.values()}
+        slot_of = {k: i for i, k in enumerate(kf_ids)}
+        T = len(kf_ids)
+        poses = np.stack([keyframes[k][1] for k in kf_ids]).astype(np.float32)
+        ei, ej, meas = [], [], []
+        for a, b in zip(kf_ids[:-1], kf_ids[1:]):
+            rel = np.asarray(se3.se3_compose(
+                jnp.asarray(keyframes[b][1]),
+                se3.se3_inverse(jnp.asarray(keyframes[a][1]))))
+            ei.append(slot_of[b]); ej.append(slot_of[a]); meas.append(rel)
+        for e in edges:
+            if e.kf_id in slot_of and e.loop_kf_id in slot_of:
+                ei.append(slot_of[e.kf_id])
+                ej.append(slot_of[e.loop_kf_id])
+                meas.append(e.relative_pose)
+        g = PoseGraph(
+            poses=jnp.asarray(poses), pose_valid=jnp.ones((T,), bool),
+            edge_i=jnp.asarray(ei, jnp.int32),
+            edge_j=jnp.asarray(ej, jnp.int32),
+            edge_meas=jnp.asarray(np.stack(meas), jnp.float32),
+            edge_valid=jnp.ones((len(ei),), bool))
+        new_poses = np.asarray(optimize_pose_graph(g, iters=iters))
+
+        # landmark re-anchoring (loopclosure.cpp:762-785) via lm_first_kf
+        arc = jax.tree.map(np.asarray, self.arc)
+        ms = jax.tree.map(np.asarray, self.ms)
+        out_kfs = {}
+        for k, slot in slot_of.items():
+            out_kfs[k] = (keyframes[k][0], new_poses[slot])
+        self._pgo_keyframes = out_kfs
+        first_of = {}
+        for gid in np.nonzero(arc.lm_set)[0]:
+            first_of[int(gid)] = int(arc.lm_first_kf[gid])
+        for s in np.nonzero(ms.lm_valid)[0]:
+            first_of[int(ms.lm_id[s])] = int(ms.lm_first_kf[s])
+        if landmarks:
+            lm_ids = list(landmarks.keys())
+            lm_pos = np.stack([landmarks[i] for i in lm_ids])
+            first = np.array([slot_of.get(first_of.get(i, -1), -1)
+                              for i in lm_ids], np.int32)
+            new_lm = np.asarray(reanchor_landmarks(
+                jnp.asarray(lm_pos), jnp.asarray(first),
+                jnp.asarray(poses), jnp.asarray(new_poses),
+                jnp.ones((T,), bool)))
+            self._pgo_landmarks = {i: p for i, p in zip(lm_ids, new_lm)}
+        return {fid: pose for fid, pose in out_kfs.values()}

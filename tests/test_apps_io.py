@@ -240,7 +240,7 @@ max_triangulation_depth: 300.0
 num_active_keyframes: 5
 backend_on: 1
 chi2_th: 5.991
-loopclosure_on: 0
+loopclosure_on: 1
 visualizer_on: 0
 """
     cfg_path = tmp_path / "cfg_fused.yaml"
@@ -252,6 +252,7 @@ visualizer_on: 0
         capture_output=True, text=True, timeout=400, env=env)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "SLAM finished (fused)" in proc.stdout
+    assert "0 loop(s) closed" in proc.stdout
     runs = list(out_dir.iterdir())
     assert len(runs) == 1
     assert (runs[0] / "keyframes.txt").exists()
