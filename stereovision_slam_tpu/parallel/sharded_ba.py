@@ -76,12 +76,20 @@ def _robust_chi2_local(cam_obs, kf_pose, lm_pos, obs, huber_d2):
 
 def build_sharded_ba(mesh: Mesh, K: int, F: int, L: int,
                      chi2_th: float = 5.991, iters: int = 10,
-                     reduce_impl: str = "xla"):
+                     reduce_impl: str = "xla",
+                     max_active_landmarks: int | None = None):
     """Build a jitted distributed BA step for the given mesh and capacities.
 
     Returns a function (map_state, cam_left, cam_right) -> (kf_pose, lm_pos)
     of refined poses/landmarks. M = 2*K*F observations are padded to a
-    multiple of the dp axis; L must divide by the mp axis.
+    multiple of the dp axis; the solved landmark axis must divide by mp.
+
+    `max_active_landmarks` (La) enables the same landmark-axis compaction as
+    the single-chip solver (slam/backend.py optimize_window): landmarks with
+    active observations are gathered into a dense (La,) sub-table before the
+    sharded solve and scattered back after — the replicated H_ll/G blocks and
+    the per-device mp slices shrink L/La-fold. Results are identical while
+    the active count fits within La.
 
     reduce_impl selects the dp-axis Schur reduction:
       'xla'  — lax.psum per block (XLA's fused ICI collective, default);
@@ -95,9 +103,12 @@ def build_sharded_ba(mesh: Mesh, K: int, F: int, L: int,
     mesh_axes = tuple((name, mesh.shape[name]) for name in mesh.axis_names)
     ring_interpret = jax.default_backend() != "tpu"
     M = 2 * K * F
+    compact = max_active_landmarks is not None and max_active_landmarks < L
+    L_solve = max_active_landmarks if compact else L
     assert M % n_dp == 0, f"obs count {M} not divisible by dp={n_dp}"
-    assert L % n_mp == 0, f"landmark table {L} not divisible by mp={n_mp}"
-    Ls = L // n_mp
+    assert L_solve % n_mp == 0, \
+        f"landmark solve axis {L_solve} not divisible by mp={n_mp}"
+    Ls = L_solve // n_mp
     huber_d2 = chi2_th * chi2_th
 
     obs_spec = BAObservations(kf=P("dp"), lm=P("dp"), uv=P("dp"),
@@ -115,7 +126,7 @@ def build_sharded_ba(mesh: Mesh, K: int, F: int, L: int,
         def lm_iter(_, carry):
             kf_pose, lm_pos, lam = carry
             H_pp, b_p, H_ll, b_l, G = _local_blocks(
-                cam_obs, kf_pose, lm_pos, obs, huber_d2, K, L)
+                cam_obs, kf_pose, lm_pos, obs, huber_d2, K, L_solve)
             # --- Schur reduction over ICI ---
             if reduce_impl == "ring":
                 from stereovision_slam_tpu.parallel.ring_reduce import ring_psum
@@ -205,7 +216,25 @@ def build_sharded_ba(mesh: Mesh, K: int, F: int, L: int,
         oldest = jnp.min(jnp.where(m.kf_valid, m.kf_id,
                                    jnp.iinfo(jnp.int32).max))
         kf_free = m.kf_valid & (m.kf_id != oldest)
-        return ba_step(obs, cam_obs, m.kf_pose, m.lm_pos, kf_free)
+        if not compact:
+            return ba_step(obs, cam_obs, m.kf_pose, m.lm_pos, kf_free)
+        # gather observed landmarks into the compact (La,) solve table
+        La = L_solve
+        lm_active = m.lm_valid & (m.lm_obs_count > 0)
+        sel = jnp.nonzero(lm_active, size=La, fill_value=L)[0]
+        sel_on = sel < L
+        inv = jnp.full((L + 1,), -1, jnp.int32).at[
+            jnp.where(sel_on, sel, L + 1)].set(
+            jnp.arange(La, dtype=jnp.int32), mode="drop")
+        lm_pos0 = jnp.where(sel_on[:, None],
+                            m.lm_pos[jnp.clip(sel, 0, L - 1)], 0.0)
+        lm_c = inv[jnp.where(obs.lm >= 0, obs.lm, L)]
+        obs_c = obs._replace(lm=lm_c, valid=obs.valid & (lm_c >= 0))
+        kf_pose, lm_pos_c = ba_step(obs_c, cam_obs, m.kf_pose, lm_pos0,
+                                    kf_free)
+        lm_pos = m.lm_pos.at[jnp.where(sel_on, sel, L)].set(
+            lm_pos_c, mode="drop")
+        return kf_pose, lm_pos
 
     # is_right is passed as a RUNTIME argument (not closed over): a
     # trace-time-constant selector would constant-fold the blended camera

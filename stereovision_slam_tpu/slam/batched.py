@@ -40,7 +40,8 @@ from stereovision_slam_tpu.slam.fused import (
 
 _STATICS = ("num_levels", "num_features", "min_distance", "quality_level",
             "max_depth", "num_active", "kf_threshold", "bad_threshold",
-            "chi2_th", "backend_on", "ba_iters", "detector", "init_branch")
+            "chi2_th", "backend_on", "ba_iters", "detector", "init_branch",
+            "ba_max_active")
 
 
 @partial(jax.jit, static_argnames=_STATICS, donate_argnums=(0, 1, 2, 3))
@@ -193,7 +194,8 @@ class BatchedFusedVisualOdometry:
             detector=cfg.keypoint_feature_detector.lower(),
             # under vmap the init cond would run both branches per lane;
             # streams are initialized host-side in initialize() instead
-            init_branch=False)
+            init_branch=False,
+            ba_max_active=cfg.ba_max_active_landmarks or None)
         for b in range(self.B):
             if self._alive[b]:
                 self.outputs[b].append((fids[b], jax.tree.map(

@@ -79,6 +79,12 @@ class SlamConfig:
     pose_iters_per_round: int = 10
     ba_lm_iters: int = 10            # backend.cpp:162-164
     ba_outlier_rounds: int = 5       # backend.cpp:166-193
+    # BA landmark-axis compaction: the solver gathers the <= this-many
+    # landmarks that actually hold observations into a dense sub-table before
+    # assembling normal equations (4x memory/time at the defaults; see
+    # slam/backend.py optimize_window). Must be >= the realistic active
+    # landmark count (window keyframes x features tracked); 0 disables.
+    ba_max_active_landmarks: int = 1024
     image_height: int = 188          # KITTI 2x-downsampled (dataset.cpp:126-129)
     image_width: int = 620
 

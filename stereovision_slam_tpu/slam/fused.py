@@ -104,6 +104,7 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                      chi2_th: float = 5.991, backend_on: bool = True,
                      ba_iters: int = 10, detector: str = "gftt",
                      num_features_init: int = 50, init_branch: bool = True,
+                     ba_max_active: int | None = 1024,
                      kf_hook=None, hook_state=None):
     """One full SLAM frame as a single traced computation (unjitted — shared
     by the scalar `fused_step` and the vmapped `slam/batched.py` variant).
@@ -145,7 +146,8 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                 num_active=num_active, detect_all=False, detector=detector)
             if backend_on:
                 ms2, _ = optimize_window(ms2, cam_left, cam_right,
-                                         chi2_th=chi2_th, iters=ba_iters)
+                                         chi2_th=chi2_th, iters=ba_iters,
+                                         max_active_landmarks=ba_max_active)
                 newest = jnp.argmax(jnp.where(ms2.kf_valid, ms2.kf_id, -1))
                 fs2 = fs2._replace(T_cur=ms2.kf_pose[newest])
             if kf_hook is not None:
@@ -238,7 +240,7 @@ fused_step = partial(jax.jit, static_argnames=(
     "num_levels", "num_features", "min_distance", "quality_level",
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
     "backend_on", "ba_iters", "detector", "num_features_init",
-    "init_branch"),
+    "init_branch", "ba_max_active"),
     donate_argnums=(0, 1, 2, 3))(_fused_step_impl)
 
 
@@ -383,7 +385,8 @@ class FusedVisualOdometry:
             chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
             ba_iters=cfg.ba_lm_iters,
             detector=cfg.keypoint_feature_detector.lower(),
-            num_features_init=cfg.num_features_init)
+            num_features_init=cfg.num_features_init,
+            ba_max_active=cfg.ba_max_active_landmarks or None)
         self.outputs.append((frame_id, out))
         return True
 
@@ -459,7 +462,8 @@ class ScanVisualOdometry(FusedVisualOdometry):
                 chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
                 ba_iters=cfg.ba_lm_iters,
                 detector=cfg.keypoint_feature_detector.lower(),
-                num_features_init=cfg.num_features_init)
+                num_features_init=cfg.num_features_init,
+                ba_max_active=cfg.ba_max_active_landmarks or None)
         return self._scan_fn
 
     def _next_chunk(self):

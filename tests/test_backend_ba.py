@@ -69,7 +69,7 @@ def reproj_rmse(m, cams):
 def test_ba_reduces_reprojection_error():
     m, poses_gt, lms_gt, lm_slots, cams = build_window()
     before = reproj_rmse(m, cams)
-    m2, (n_obs, n_out, th) = optimize_window(m, cams[0], cams[1])
+    m2, (n_obs, n_out, th, n_ovf) = optimize_window(m, cams[0], cams[1])
     after = reproj_rmse(m2, cams)
     assert after < before * 0.05, f"before {before:.3f}, after {after:.3f}"
     assert int(n_obs) == 5 * 60 * 2
@@ -92,7 +92,7 @@ def test_ba_with_noise_and_outliers():
     m, poses_gt, lms_gt, lm_slots, cams = build_window(
         seed=2, px_noise=0.4, n_bad_obs=10)
     links_before = np.asarray(m.obs_lm[1][:10])  # copy before donation
-    m2, (n_obs, n_out, th) = optimize_window(m, cams[0], cams[1])
+    m2, (n_obs, n_out, th, n_ovf) = optimize_window(m, cams[0], cams[1])
     # the 10 gross outliers (40px off) must be flagged and unlinked
     assert int(n_out) >= 10
     # links severed in kf slot 1
@@ -104,9 +104,45 @@ def test_ba_with_noise_and_outliers():
 
 def test_ba_empty_map_no_crash():
     m = mapmod.empty_map(K, F, L)
-    m2, (n_obs, n_out, th) = optimize_window(m, *synthetic.make_stereo_rig())
+    m2, (n_obs, n_out, th, n_ovf) = optimize_window(m, *synthetic.make_stereo_rig())
     assert int(n_obs) == 0
     assert np.all(np.isfinite(np.asarray(m2.kf_pose)))
+
+
+def test_ba_compaction_identical_results():
+    """Landmark-axis compaction (gather->solve at La->scatter) must be
+    result-identical to the full-table solve while the active landmarks fit."""
+    m, *_, cams = build_window(seed=4, px_noise=0.3, n_bad_obs=6)
+    m_copy = jax.tree.map(jnp.copy, m)  # optimize_window donates its input
+    m_full, (n_obs_f, n_out_f, th_f, ovf_f) = optimize_window(
+        m, cams[0], cams[1], max_active_landmarks=None)
+    m_cmp, (n_obs_c, n_out_c, th_c, ovf_c) = optimize_window(
+        m_copy, cams[0], cams[1], max_active_landmarks=128)
+    assert int(ovf_f) == 0 and int(ovf_c) == 0
+    assert int(n_obs_f) == int(n_obs_c)
+    assert int(n_out_f) == int(n_out_c)
+    np.testing.assert_allclose(np.asarray(m_full.kf_pose),
+                               np.asarray(m_cmp.kf_pose), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m_full.lm_pos),
+                               np.asarray(m_cmp.lm_pos), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(m_full.obs_lm),
+                                  np.asarray(m_cmp.obs_lm))
+
+
+def test_ba_compaction_overflow_degrades_gracefully():
+    """With La below the active count, overflowing landmarks keep their
+    positions, the overflow is reported, and the solve stays finite."""
+    m, *_ , cams = build_window(seed=5)
+    lm_pos_before = np.asarray(m.lm_pos)
+    active_before = np.asarray(m.lm_valid & (m.lm_obs_count > 0))
+    m2, (n_obs, n_out, th, ovf) = optimize_window(
+        m, cams[0], cams[1], max_active_landmarks=32)
+    assert int(ovf) == int(active_before.sum()) - 32
+    assert np.all(np.isfinite(np.asarray(m2.kf_pose)))
+    # landmarks beyond the compact table are untouched
+    sel = np.nonzero(active_before)[0][32:]
+    np.testing.assert_array_equal(np.asarray(m2.lm_pos)[sel],
+                                  lm_pos_before[sel])
 
 
 def test_ba_landmark_positions_improve():

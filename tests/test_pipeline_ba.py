@@ -38,7 +38,7 @@ def test_ba_pipeline_tracks(ba_run):
     vo, poses = ba_run
     assert len(vo.archived_keyframes) >= 2
     assert vo.backend.last_stats is not None
-    n_obs, n_out, th = vo.backend.last_stats
+    n_obs, n_out, th, n_ovf = vo.backend.last_stats
     assert int(n_obs) > 50
 
 

@@ -57,6 +57,20 @@ def test_sharded_ba_improves_geometry(window):
     assert err < 2e-2, f"relative pose error {err}"
 
 
+def test_sharded_ba_compaction_matches_full(window):
+    """Compacted sharded solve == full sharded solve (same semantics as the
+    single-chip compaction, but the gather happens outside shard_map)."""
+    m, poses_gt, lms_gt, lm_slots, cams = window
+    mesh = make_ba_mesh(8)
+    run_full = build_sharded_ba(mesh, K, F, L, iters=10)
+    run_cmp = build_sharded_ba(mesh, K, F, L, iters=10,
+                               max_active_landmarks=128)
+    kf_f, lm_f = run_full(m, cams[0], cams[1])
+    kf_c, lm_c = run_cmp(m, cams[0], cams[1])
+    np.testing.assert_allclose(np.asarray(kf_f), np.asarray(kf_c), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lm_f), np.asarray(lm_c), atol=1e-4)
+
+
 def test_sharded_ba_various_mesh_shapes(window):
     m, poses_gt, lms_gt, lm_slots, cams = window
     for dp, mp in [(8, 1), (2, 4)]:
