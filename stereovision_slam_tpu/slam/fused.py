@@ -244,15 +244,25 @@ fused_step = partial(jax.jit, static_argnames=(
     donate_argnums=(0, 1, 2, 3))(_fused_step_impl)
 
 
-def build_scan_chunk(**static):
-    """Compile a `lax.scan` over a CHUNK of frames: one device dispatch per
+def build_scan_chunk(unroll: int | bool = False, **static):
+    """Compile a CHUNK of frames into one device program: one dispatch per
     chunk instead of per frame.
 
     The fused per-frame program already runs with zero host syncs, but each
-    frame still costs one host->device dispatch; scanning the (shared-shape)
+    frame still costs one host->device dispatch; folding the (shared-shape)
     fused step over stacked frame arrays amortizes that dispatch across the
     whole chunk — the TPU-native analogue of the reference's free-running
-    main loop (visual_odometry.cpp:158-191) for offline/recorded sequences.
+    main loop (visual_odometry.cpp:158-191) for offline/recorded sequences,
+    and the hedge against slow hosts: per-frame throughput becomes
+    device-bound even when each dispatch costs milliseconds of host/RPC time.
+
+    `unroll=False` wraps the step in a `lax.scan` (compiles once, smallest
+    executable). `unroll=True` (or an int factor passed to lax.scan's
+    `unroll=`) unrolls the chunk body: the executable grows ~chunk_size x and
+    compiles correspondingly slower, but XLA schedules the frames back-to-back
+    with no loop plumbing — measured several times faster per frame than both
+    the scan and the per-frame fused dispatch on the axon runtime
+    (docs/PERFORMANCE.md "chunked dispatch").
 
     The cameras are ARGUMENTS of the returned function, not closure state:
     closing over them bakes the rig pose arrays into the executable as array
@@ -268,8 +278,7 @@ def build_scan_chunk(**static):
     emits a sentinel output (n_inliers = -1).
     """
 
-    def scan_chunk(fs, ms, arc, kf_count, cam_left, cam_right,
-                   lefts, rights, frame_ids, valid):
+    def make_body(cam_left, cam_right):
         def body(carry, x):
             fs, ms, arc, kf_count = carry
             left, right, fid, ok = x
@@ -291,13 +300,30 @@ def build_scan_chunk(**static):
             fs, ms, arc, kf_count, out = lax.cond(
                 ok, run, skip, (fs, ms, arc, kf_count))
             return (fs, ms, arc, kf_count), out
+        return body
 
-        (fs, ms, arc, kf_count), outs = lax.scan(
-            body, (fs, ms, arc, kf_count),
-            (lefts, rights, frame_ids, valid))
-        return fs, ms, arc, kf_count, outs
+    if unroll is True:
+        def chunk_fn(fs, ms, arc, kf_count, cam_left, cam_right,
+                     lefts, rights, frame_ids, valid):
+            body = make_body(cam_left, cam_right)
+            outs = []
+            carry = (fs, ms, arc, kf_count)
+            for i in range(lefts.shape[0]):
+                carry, out = body(
+                    carry, (lefts[i], rights[i], frame_ids[i], valid[i]))
+                outs.append(out)
+            fs, ms, arc, kf_count = carry
+            outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+            return fs, ms, arc, kf_count, outs
+    else:
+        def chunk_fn(fs, ms, arc, kf_count, cam_left, cam_right,
+                     lefts, rights, frame_ids, valid):
+            (fs, ms, arc, kf_count), outs = lax.scan(
+                make_body(cam_left, cam_right), (fs, ms, arc, kf_count),
+                (lefts, rights, frame_ids, valid), unroll=int(unroll) or 1)
+            return fs, ms, arc, kf_count, outs
 
-    return jax.jit(scan_chunk, donate_argnums=(0, 1, 2, 3))
+    return jax.jit(chunk_fn, donate_argnums=(0, 1, 2, 3))
 
 
 class FusedVisualOdometry:
@@ -428,23 +454,25 @@ class FusedVisualOdometry:
 
 class ScanVisualOdometry(FusedVisualOdometry):
     """Offline/batch mode: frames are consumed in fixed-size chunks, each
-    chunk is ONE `lax.scan` device program (see build_scan_chunk). Produces
-    the same archives/outputs as FusedVisualOdometry (same traced per-frame
-    computation), with per-frame dispatch cost amortized across the chunk.
+    chunk is ONE device program (see build_scan_chunk). Produces the same
+    archives/outputs as FusedVisualOdometry (same traced per-frame
+    computation), with per-frame dispatch cost amortized across the chunk —
+    the mode of choice whenever per-dispatch host/RPC time is nontrivial.
 
-    Runtime note (measured, docs/PERFORMANCE.md "scan-mode caveat"): under
-    the axon RPC tunnel, merely LOADING the compiled scan executable flips
-    the runtime into its degraded dispatch state (tiny-op dispatch 0.04ms ->
-    1.5ms before any execution) and the chunk then executes ~60x slower than
-    the identical per-frame programs — an executable-size threshold in the
-    experimental runtime, not a property of the HLO (op-for-op identical to
-    the fused step; CPU backend executes scan and per-frame modes at parity).
-    Prefer FusedVisualOdometry on axon; use this mode on standard TPU
-    runtimes / CPU for recorded sequences."""
+    The round-1 "scan-mode caveat" (~100 ms/frame on axon) was the
+    array-constant cliff: the chunk program closed over the camera rig,
+    baking its pose arrays into the executable as dense constants. With the
+    cameras passed as runtime arguments the chunk runs at full speed
+    (docs/PERFORMANCE.md "chunked dispatch"); `unroll=True`
+    (UnrolledVisualOdometry) additionally unrolls the chunk body, trading a
+    chunk_size-times larger executable/compile for the fastest measured
+    per-frame device time."""
 
-    def __init__(self, cfg: SlamConfig, dataset, chunk_size: int = 32, **kw):
+    def __init__(self, cfg: SlamConfig, dataset, chunk_size: int = 32,
+                 unroll: int | bool = False, **kw):
         super().__init__(cfg, dataset, **kw)
         self.chunk_size = chunk_size
+        self.unroll = unroll
         self._scan_fn = None
         self._pending_chunks = []
 
@@ -452,6 +480,7 @@ class ScanVisualOdometry(FusedVisualOdometry):
         if self._scan_fn is None:
             cfg = self.cfg
             self._scan_fn = build_scan_chunk(
+                unroll=self.unroll,
                 num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
                 min_distance=cfg.gftt_min_distance,
                 quality_level=cfg.gftt_quality_level,
@@ -489,23 +518,38 @@ class ScanVisualOdometry(FusedVisualOdometry):
                 np.asarray(fids, np.int32), valid, n)
 
     def step(self) -> bool:
-        """One chunk (stereo init happens inside the scan body's device-side
+        """One chunk (stereo init happens inside the chunk body's device-side
         init branch on the first frame — with retry — since the per-frame
-        cond predicate is scalar inside `lax.scan`)."""
+        cond predicate is scalar inside the chunk program)."""
         chunk = self._next_chunk()
         if chunk is None:
             return False
         lefts, rights, fids, valid, n = chunk
+        self.step_chunk(jnp.asarray(lefts), jnp.asarray(rights),
+                        jnp.asarray(fids), jnp.asarray(valid),
+                        host_fids=fids[:n], n=n)
+        return True
+
+    def step_chunk(self, lefts, rights, fids, valid, host_fids=None,
+                   n=None) -> None:
+        """Advance one pre-assembled chunk of (chunk_size, H, W) frames.
+
+        The arrays may already live on the device (zero-copy for prefetched /
+        device-resident pipelines — used by bench.py, which must not read
+        device values back on the host path). `host_fids`/`n` carry the
+        HOST-side frame ids and true (unpadded) length for output bookkeeping
+        so no device->host transfer is needed."""
         if self.fs is None:
-            self.fs = self._placeholder_state(jnp.asarray(lefts[0]))
+            self.fs = self._placeholder_state(
+                jnp.zeros(lefts.shape[1:], jnp.float32))
         scan_fn = self._ensure_scan_fn()
+        if host_fids is None:
+            host_fids = np.asarray(fids)
+            n = len(host_fids) if n is None else n
         self.fs, self.ms, self.arc, self.kf_count, outs = scan_fn(
             self.fs, self.ms, self.arc, self.kf_count,
-            self.cam_left, self.cam_right,
-            jnp.asarray(lefts), jnp.asarray(rights),
-            jnp.asarray(fids), jnp.asarray(valid))
-        self._pending_chunks.append((fids[:n], outs, n))
-        return True
+            self.cam_left, self.cam_right, lefts, rights, fids, valid)
+        self._pending_chunks.append((host_fids[:n], outs, n))
 
     def drain(self):
         # unstack chunked outputs into the per-frame list once, host-side
@@ -516,3 +560,22 @@ class ScanVisualOdometry(FusedVisualOdometry):
                     *[np.asarray(v[i]) for v in host])))
         self._pending_chunks = []
         return super().drain()
+
+
+class UnrolledVisualOdometry(ScanVisualOdometry):
+    """Chunked mode with the chunk body UNROLLED into the executable
+    (build_scan_chunk(unroll=True)) instead of wrapped in `lax.scan`.
+
+    The fastest dispatch-amortized configuration measured on the axon
+    runtime: one dispatch advances `chunk_size` frames with no scan loop
+    plumbing, so per-frame device time matches the per-frame fused step
+    while per-frame HOST time drops ~chunk_size-fold — the hedge against
+    slow or oversubscribed hosts where the per-frame fused mode becomes
+    dispatch-bound (docs/PERFORMANCE.md "chunked dispatch"). Cost: the
+    executable and its compile time grow ~chunk_size x (one-time, cached
+    persistently in .jax_cache)."""
+
+    def __init__(self, cfg: SlamConfig, dataset, chunk_size: int = 8, **kw):
+        kw.pop("unroll", None)
+        super().__init__(cfg, dataset, chunk_size=chunk_size, unroll=True,
+                         **kw)

@@ -148,8 +148,19 @@ class LoopClosure:
         entry = self._process(vo, frame, kf_id)
         if not in_cooldown:
             candidate = self._find_candidate(entry)
+            viewer = getattr(vo, "viewer", None)
+            if viewer is not None:  # loopclosure.cpp:265-271
+                viewer.plot("plots/loop_deep_score", self.last_deep_score,
+                            kf_id)
             if candidate is not None:
+                before = len(self.loop_edges)
                 self._attempt_closure(vo, entry, candidate)
+                if viewer is not None and len(self.loop_edges) > before:
+                    viewer.log_info_mkf(
+                        f"LoopClosure: closed loop keyframe {kf_id} -> "
+                        f"{candidate.kf_id} "
+                        f"(deep score {self.last_deep_score:.3f})",
+                        kf_id, "loopclosure")
         self.db[kf_id] = entry
         self._scan_cache_append(kf_id, entry.embedding)
 

@@ -156,6 +156,11 @@ class VisualOdometry:
             self.status = fe.FrontendStatus.TRACKING_GOOD
             self._notify_backend()
             self._snapshot_for_reloc()
+            if self.viewer is not None:  # frontend.cpp:241-244
+                self.viewer.log_info_mkf(
+                    f"Frontend: stereo map initialized with {int(n_new)} "
+                    "landmarks", self.kf_count, "frontend")
+                self.viewer.update_map(self, frame)
         else:
             # stay INITING and retry next frame with a FRESH map: keyframe_step
             # donates the old MapState buffer (donate_argnums), so self.ms must
@@ -186,7 +191,13 @@ class VisualOdometry:
         if self.loop_closure is not None:
             self.loop_closure.add_keyframe(self, frame)
         if self.viewer is not None:
-            self.viewer.update_map(self)
+            self.viewer.log_info_mkf(
+                f"Backend: optimized active window after keyframe "
+                f"{self.kf_count}" if self.backend is not None else
+                f"Frontend: inserted keyframe {self.kf_count}",
+                self.kf_count,
+                "backend" if self.backend is not None else "frontend")
+            self.viewer.update_map(self, frame)
 
     # ------------------------------------------------------------------ #
 

@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
-from stereovision_slam_tpu.slam.fused import FusedVisualOdometry, ScanVisualOdometry
+from stereovision_slam_tpu.slam.fused import (
+    FusedVisualOdometry, ScanVisualOdometry, UnrolledVisualOdometry)
 from tests.test_fused import scene  # noqa: F401  (fixture)
 from tests.test_pipeline_frontend import small_config
 
@@ -21,14 +22,17 @@ def _run(vo):
     return vo.drain()
 
 
-@pytest.mark.parametrize("chunk", [4, 5, 32])
-def test_scan_matches_fused(scene, chunk):  # noqa: F811
+@pytest.mark.parametrize("cls,chunk", [(ScanVisualOdometry, 4),
+                                       (ScanVisualOdometry, 5),
+                                       (ScanVisualOdometry, 32),
+                                       (UnrolledVisualOdometry, 5)])
+def test_scan_matches_fused(scene, cls, chunk):  # noqa: F811
     lefts, rights, rig, poses = scene
     cfg = small_config()
 
     kf_f, lm_f, fr_f = _run(
         FusedVisualOdometry(cfg, ArraySequenceDataset(lefts, rights, rig)))
-    kf_s, lm_s, fr_s = _run(ScanVisualOdometry(
+    kf_s, lm_s, fr_s = _run(cls(
         cfg, ArraySequenceDataset(lefts, rights, rig), chunk_size=chunk))
 
     assert set(kf_s) == set(kf_f)
