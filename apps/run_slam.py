@@ -6,15 +6,19 @@ Equivalent of the reference app
 path (reference-format keys), defaulting to configs/default.yaml.
 
 Beyond the reference: --platform cpu|tpu backend override,
---checkpoint-every N (save full SLAM state every N frames),
+--checkpoint-every N (save full SLAM state every N frames, any mode),
 --resume PATH (continue a checkpointed run exactly where it stopped), and
---mode classic|fused|scan:
-  classic — the reference's interactive topology (viewer, loop closure,
-            per-frame status readback); the default;
-  fused   — maximum-throughput streaming (stereo-init + tracking + BA as one
-            zero-readback device program per frame; no viewer/loop closure);
-  scan    — fused semantics, one device dispatch per 32-frame chunk
-            (recorded sequences / slow host links).
+--mode classic|fused|scan|unrolled:
+  classic  — the reference's interactive topology (viewer, loop closure,
+             per-frame status readback); the default;
+  fused    — maximum-throughput streaming: stereo-init + tracking + BA (and,
+             with loopclosure_on, the full device-side loop-closure state
+             machine + shutdown PGO) as one zero-readback device program per
+             frame;
+  scan     — fused semantics, one `lax.scan` device dispatch per 32-frame
+             chunk (recorded sequences / slow host links);
+  unrolled — fused semantics, one UNROLLED device dispatch per 8-frame chunk
+             (fastest measured; chunk-sized compile paid once, cached).
 """
 
 import os
@@ -38,8 +42,9 @@ def main() -> int:
         i = args.index("--mode")
         mode = args[i + 1]
         del args[i:i + 2]
-        if mode not in ("classic", "fused", "scan"):
-            print(f"Unknown --mode {mode}; expected classic|fused|scan")
+        if mode not in ("classic", "fused", "scan", "unrolled"):
+            print(f"Unknown --mode {mode}; "
+                  "expected classic|fused|scan|unrolled")
             return 1
     checkpoint_every, resume_path = 0, None
     if "--checkpoint-every" in args:
@@ -73,17 +78,15 @@ def main() -> int:
                            cfg.right_cam_index, bool(cfg.is_color_input))
     dataset.initialize()
 
-    if mode in ("fused", "scan"):
+    if mode in ("fused", "scan", "unrolled"):
         import time
 
         import numpy as np
 
         from stereovision_slam_tpu.slam import outputs as out_mod
         from stereovision_slam_tpu.slam.fused import (FusedVisualOdometry,
-                                                      ScanVisualOdometry)
-        if checkpoint_every or resume_path:
-            print("--checkpoint-every/--resume require --mode classic")
-            return 1
+                                                      ScanVisualOdometry,
+                                                      UnrolledVisualOdometry)
         if mode == "fused" and cfg.loopclosure_on:
             # device-side loop closure (slam/fused_loop.py): the whole
             # loop-closure state machine runs inside the per-frame program
@@ -92,12 +95,32 @@ def main() -> int:
             vo = FusedLoopVisualOdometry(
                 cfg, dataset, mnv2_weights_path=cfg.dnn_weights_path)
         else:
-            cls = (FusedVisualOdometry if mode == "fused"
-                   else ScanVisualOdometry)
+            cls = {"fused": FusedVisualOdometry, "scan": ScanVisualOdometry,
+                   "unrolled": UnrolledVisualOdometry}[mode]
             vo = cls(cfg, dataset)
         vo.initialize()
+        if resume_path:
+            from stereovision_slam_tpu.slam.checkpoint import \
+                load_fused_checkpoint
+            load_fused_checkpoint(vo, resume_path)
+            print(f"Resumed from {resume_path} "
+                  f"({len(vo.outputs)} frames already processed)")
         t0 = time.perf_counter()
-        vo.run()
+        if checkpoint_every > 0:
+            from stereovision_slam_tpu.slam.checkpoint import \
+                save_fused_checkpoint
+            ckpt_path = os.path.join(cfg.output_dir or ".",
+                                     "slam_checkpoint.npz")
+            os.makedirs(os.path.dirname(ckpt_path) or ".", exist_ok=True)
+            n = 0
+            while vo.step():
+                n += 1
+                if n % checkpoint_every == 0:
+                    save_fused_checkpoint(vo, ckpt_path)
+            import jax
+            jax.block_until_ready(vo.fs.T_cur)
+        else:
+            vo.run()
         dt = time.perf_counter() - t0
         if (hasattr(vo, "run_pgo")
                 and int(cfg.global_pose_graph_optimization)):

@@ -84,6 +84,35 @@ def save_checkpoint(vo, path: str) -> None:
     np.savez_compressed(path, **arrays)
 
 
+def save_fused_checkpoint(vo, path: str) -> None:
+    """Serialize a Fused/Scan/Unrolled/FusedLoop VisualOdometry's streaming
+    state (fs/ms/arc/kf_count/outputs + device loop DB when present). A
+    deliberate device->host sync point — see FusedVisualOdometry.state_dict."""
+    arrays, meta = vo.state_dict()
+    meta["version"] = FORMAT_VERSION
+    arrays["meta_json"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8)
+    np.savez_compressed(path, **arrays)
+
+
+def load_fused_checkpoint(vo, path: str) -> None:
+    """Restore state saved by :func:`save_fused_checkpoint` into an
+    initialize()d streaming pipeline of the same mode/config."""
+    data = np.load(path)
+    meta = json.loads(bytes(data["meta_json"]).decode())
+    if meta["version"] != FORMAT_VERSION:
+        from stereovision_slam_tpu.utils.exceptions import CheckpointError
+        raise CheckpointError(
+            f"checkpoint version {meta['version']} unsupported")
+    if meta["mode"] != type(vo).__name__:
+        from stereovision_slam_tpu.utils.exceptions import CheckpointError
+        raise CheckpointError(
+            f"checkpoint was written by {meta['mode']}, "
+            f"loading into {type(vo).__name__}")
+    vo.load_state_dict({k: data[k] for k in data.files if k != "meta_json"},
+                       meta)
+
+
 def load_checkpoint(vo, path: str) -> None:
     """Restore state saved by :func:`save_checkpoint` into an initialized
     VisualOdometry (dataset/config must match)."""

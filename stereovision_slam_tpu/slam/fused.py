@@ -451,6 +451,88 @@ class FusedVisualOdometry:
         keyframes, _, _ = self.drain()
         return {fid: pose for fid, pose in keyframes.values()}
 
+    # ------------------------------------------------------------------ #
+    # checkpoint/resume (slam/checkpoint.py save_fused_checkpoint):
+    # the streaming state is a clean device pytree, so serialization is a
+    # straight host pull. NOTE: state_dict() reads device values back — it
+    # is a deliberate synchronization point (like drain()), so checkpoint
+    # cadence trades throughput for durability.
+
+    def state_dict(self) -> tuple[dict, dict]:
+        """(arrays, meta) capturing the complete streaming state."""
+        self._flush_pending()
+        arrays = {}
+        fs = self.fs
+        for name in ("T_cur", "T_rel", "feat_uv", "feat_lm", "feat_valid",
+                     "ref_uv"):
+            arrays[f"fs.{name}"] = np.asarray(getattr(fs, name))
+        for i, level in enumerate(fs.pyr):
+            arrays[f"fs.pyr.{i}"] = np.asarray(level)
+        for i, level in enumerate(fs.ref_pyr):
+            arrays[f"fs.ref_pyr.{i}"] = np.asarray(level)
+        for name, val in self.ms._asdict().items():
+            arrays[f"ms.{name}"] = np.asarray(val)
+        for name, val in self.arc._asdict().items():
+            arrays[f"arc.{name}"] = np.asarray(val)
+        arrays["kf_count"] = np.asarray(self.kf_count)
+        if self.outputs:
+            arrays["out.fids"] = np.asarray(
+                [fid for fid, _ in self.outputs], np.int64)
+            stacked = [np.stack([np.asarray(getattr(o, f))
+                                 for _, o in self.outputs])
+                       for f in FrameOutputs._fields]
+            for f, v in zip(FrameOutputs._fields, stacked):
+                arrays[f"out.{f}"] = v
+        meta = {
+            "mode": type(self).__name__,
+            "num_pyr_levels": len(fs.pyr),
+            "num_outputs": len(self.outputs),
+            # rewind past the prefetch queue: those frames were pulled from
+            # the dataset but not yet processed — the resumed run re-fetches
+            # them
+            "dataset_index": (getattr(self.dataset, "current_index", 0)
+                              - len(self._queue)),
+        }
+        return arrays, meta
+
+    def load_state_dict(self, arrays: dict, meta: dict) -> None:
+        """Restore into an initialize()d instance (dataset/config must
+        match); the next step() continues the sequence exactly."""
+        from stereovision_slam_tpu.slam import frontend as fe_mod
+        n_lv = meta["num_pyr_levels"]
+        self.fs = fe_mod.FrontendState(
+            T_cur=jnp.asarray(arrays["fs.T_cur"]),
+            T_rel=jnp.asarray(arrays["fs.T_rel"]),
+            feat_uv=jnp.asarray(arrays["fs.feat_uv"]),
+            feat_lm=jnp.asarray(arrays["fs.feat_lm"]),
+            feat_valid=jnp.asarray(arrays["fs.feat_valid"]),
+            pyr=tuple(jnp.asarray(arrays[f"fs.pyr.{i}"])
+                      for i in range(n_lv)),
+            ref_uv=jnp.asarray(arrays["fs.ref_uv"]),
+            ref_pyr=tuple(jnp.asarray(arrays[f"fs.ref_pyr.{i}"])
+                          for i in range(n_lv)),
+        )
+        self.ms = mapmod.MapState(**{
+            name: jnp.asarray(arrays[f"ms.{name}"])
+            for name in mapmod.MapState._fields})
+        self.arc = ArchiveState(**{
+            name: jnp.asarray(arrays[f"arc.{name}"])
+            for name in ArchiveState._fields})
+        self.kf_count = jnp.asarray(arrays["kf_count"])
+        self.outputs = []
+        if meta["num_outputs"]:
+            fids = arrays["out.fids"]
+            fields = [arrays[f"out.{f}"] for f in FrameOutputs._fields]
+            for i in range(meta["num_outputs"]):
+                self.outputs.append((int(fids[i]), FrameOutputs(
+                    *[v[i] for v in fields])))
+        if hasattr(self.dataset, "current_index"):
+            self.dataset.current_index = meta["dataset_index"]
+        self._queue = []
+
+    def _flush_pending(self) -> None:
+        """Chunked subclasses fold not-yet-unstacked outputs first."""
+
 
 class ScanVisualOdometry(FusedVisualOdometry):
     """Offline/batch mode: frames are consumed in fixed-size chunks, each
@@ -551,7 +633,7 @@ class ScanVisualOdometry(FusedVisualOdometry):
             self.cam_left, self.cam_right, lefts, rights, fids, valid)
         self._pending_chunks.append((host_fids[:n], outs, n))
 
-    def drain(self):
+    def _flush_pending(self) -> None:
         # unstack chunked outputs into the per-frame list once, host-side
         for fids, outs, n in self._pending_chunks:
             host = jax.tree.map(np.asarray, outs)
@@ -559,6 +641,9 @@ class ScanVisualOdometry(FusedVisualOdometry):
                 self.outputs.append((int(fids[i]), FrameOutputs(
                     *[np.asarray(v[i]) for v in host])))
         self._pending_chunks = []
+
+    def drain(self):
+        self._flush_pending()
         return super().drain()
 
 

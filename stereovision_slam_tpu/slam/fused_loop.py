@@ -310,6 +310,21 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
 
     # ------------------------------------------------------------------ #
 
+    def state_dict(self):
+        """Adds the device-side loop database/edge log to the fused
+        checkpoint (slam/checkpoint.py). mnv2 weights are NOT serialized —
+        they are deterministic from `dnn_weights_path`."""
+        arrays, meta = super().state_dict()
+        for name, val in self.ls._asdict().items():
+            arrays[f"ls.{name}"] = np.asarray(val)
+        return arrays, meta
+
+    def load_state_dict(self, arrays, meta):
+        super().load_state_dict(arrays, meta)
+        self.ls = LoopState(**{
+            name: jnp.asarray(arrays[f"ls.{name}"])
+            for name in LoopState._fields})
+
     def loop_edges(self) -> list[LoopEdgeRecord]:
         """Drain the device edge log (reads back — call after streaming)."""
         ls = self.ls

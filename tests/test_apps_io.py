@@ -257,3 +257,49 @@ visualizer_on: 0
     assert len(runs) == 1
     assert (runs[0] / "keyframes.txt").exists()
     assert (runs[0] / "landmarks.pcd").exists()
+
+
+def test_run_slam_cli_unrolled_checkpoint_resume(kitti_dir, tmp_path):
+    """--mode unrolled with --checkpoint-every/--resume: the streaming state
+    round-trips through the fused checkpoint and the run completes."""
+    root, poses = kitti_dir
+    out_dir = tmp_path / "out_unrolled"
+    out_dir.mkdir()
+    cfg = f"""
+dataset_dir: {root}
+left_cam_index: 0
+right_cam_index: 1
+is_color_input: 0
+output_dir: {out_dir}
+num_features: 60
+num_features_init: 15
+num_features_tracking: 20
+num_features_tracking_bad: 8
+num_features_needed_for_keyframe: 50
+max_triangulation_depth: 300.0
+num_active_keyframes: 5
+backend_on: 1
+chi2_th: 5.991
+loopclosure_on: 0
+visualizer_on: 0
+"""
+    cfg_path = tmp_path / "cfg_unrolled.yaml"
+    cfg_path.write_text(cfg)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    app = os.path.join(REPO, "apps", "run_slam.py")
+    proc = subprocess.run(
+        [sys.executable, app, str(cfg_path), "--mode", "unrolled",
+         "--checkpoint-every", "1"],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "SLAM finished (unrolled)" in proc.stdout
+    ckpt = out_dir / "slam_checkpoint.npz"
+    assert ckpt.exists()
+
+    proc2 = subprocess.run(
+        [sys.executable, app, str(cfg_path), "--mode", "unrolled",
+         "--resume", str(ckpt)],
+        capture_output=True, text=True, timeout=500, env=env)
+    assert proc2.returncode == 0, proc2.stderr[-2000:]
+    assert "Resumed from" in proc2.stdout
+    assert "SLAM finished (unrolled)" in proc2.stdout

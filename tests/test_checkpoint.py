@@ -133,3 +133,96 @@ def test_checkpoint_roundtrips_loop_closure_state(tmp_path):
     assert len(lc2.loop_edges) == 1 and lc2.loop_edges[0].loop_kf_id == 3
     assert lc2.last_closed_kf_id == 8
     assert lc2.last_deep_score == 0.97
+
+
+# ---------------------------------------------------------------------- #
+# fused-mode checkpoint/resume (streaming state is a device pytree)
+
+def _fused_traj(vo):
+    kf, lm, fr = vo.drain()
+    return {fid: pose for fid, pose in kf.values()}, lm, fr
+
+
+def test_fused_checkpoint_roundtrip_exact(tmp_path):
+    from stereovision_slam_tpu.slam.checkpoint import (
+        load_fused_checkpoint, save_fused_checkpoint)
+    from stereovision_slam_tpu.slam.fused import FusedVisualOdometry
+    data = make_dataset()
+
+    vo_full = FusedVisualOdometry(small_config(), ArraySequenceDataset(*data))
+    vo_full.initialize()
+    vo_full.run()
+
+    vo_a = FusedVisualOdometry(small_config(), ArraySequenceDataset(*data))
+    vo_a.initialize()
+    for _ in range(7):
+        vo_a.step()
+    ckpt = str(tmp_path / "fused.npz")
+    save_fused_checkpoint(vo_a, ckpt)
+
+    vo_b = FusedVisualOdometry(small_config(), ArraySequenceDataset(*data))
+    vo_b.initialize()
+    load_fused_checkpoint(vo_b, ckpt)
+    vo_b.run()
+
+    ta, la, fa = _fused_traj(vo_full)
+    tb, lb, fb = _fused_traj(vo_b)
+    assert set(ta) == set(tb)
+    for fid in ta:  # bit-identical: resumed state is the same device pytree
+        np.testing.assert_array_equal(ta[fid], tb[fid])
+    assert set(la) == set(lb)
+    assert [fid for fid, _ in fa] == [fid for fid, _ in fb]
+    for (_, a), (_, b) in zip(fa, fb):
+        assert int(a.n_inliers) == int(b.n_inliers)
+
+
+def test_fused_checkpoint_mode_mismatch_rejected(tmp_path):
+    import pytest
+    from stereovision_slam_tpu.slam.checkpoint import (
+        load_fused_checkpoint, save_fused_checkpoint)
+    from stereovision_slam_tpu.slam.fused import (FusedVisualOdometry,
+                                                  ScanVisualOdometry)
+    from stereovision_slam_tpu.utils.exceptions import CheckpointError
+    data = make_dataset()
+    vo = FusedVisualOdometry(small_config(), ArraySequenceDataset(*data))
+    vo.initialize()
+    for _ in range(4):
+        vo.step()
+    ckpt = str(tmp_path / "f.npz")
+    save_fused_checkpoint(vo, ckpt)
+    vo2 = ScanVisualOdometry(small_config(), ArraySequenceDataset(*data),
+                             chunk_size=4)
+    vo2.initialize()
+    with pytest.raises(CheckpointError):
+        load_fused_checkpoint(vo2, ckpt)
+
+
+def test_scan_checkpoint_roundtrip(tmp_path):
+    from stereovision_slam_tpu.slam.checkpoint import (
+        load_fused_checkpoint, save_fused_checkpoint)
+    from stereovision_slam_tpu.slam.fused import ScanVisualOdometry
+    data = make_dataset()
+
+    vo_full = ScanVisualOdometry(small_config(), ArraySequenceDataset(*data),
+                                 chunk_size=4)
+    vo_full.initialize()
+    vo_full.run()
+
+    vo_a = ScanVisualOdometry(small_config(), ArraySequenceDataset(*data),
+                              chunk_size=4)
+    vo_a.initialize()
+    vo_a.step()  # 4 frames
+    ckpt = str(tmp_path / "scan.npz")
+    save_fused_checkpoint(vo_a, ckpt)
+
+    vo_b = ScanVisualOdometry(small_config(), ArraySequenceDataset(*data),
+                              chunk_size=4)
+    vo_b.initialize()
+    load_fused_checkpoint(vo_b, ckpt)
+    vo_b.run()
+
+    ta, la, _ = _fused_traj(vo_full)
+    tb, lb, _ = _fused_traj(vo_b)
+    assert set(ta) == set(tb)
+    for fid in ta:
+        np.testing.assert_array_equal(ta[fid], tb[fid])
