@@ -41,7 +41,7 @@ from stereovision_slam_tpu.slam.fused import (
 _STATICS = ("num_levels", "num_features", "min_distance", "quality_level",
             "max_depth", "num_active", "kf_threshold", "bad_threshold",
             "chi2_th", "backend_on", "ba_iters", "detector", "init_branch",
-            "ba_max_active")
+            "ba_max_active", "lost_recovery")
 
 
 @partial(jax.jit, static_argnames=_STATICS, donate_argnums=(0, 1, 2, 3))
@@ -195,6 +195,9 @@ class BatchedFusedVisualOdometry:
             # under vmap the init cond would run both branches per lane;
             # streams are initialized host-side in initialize() instead
             init_branch=False,
+            # under vmap each per-lane cond lowers to both-branches+select:
+            # the recovery re-init would run for every lane every frame
+            lost_recovery=False,
             ba_max_active=cfg.ba_max_active_landmarks or None)
         for b in range(self.B):
             if self._alive[b]:

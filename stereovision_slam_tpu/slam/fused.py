@@ -105,6 +105,7 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                      ba_iters: int = 10, detector: str = "gftt",
                      num_features_init: int = 50, init_branch: bool = True,
                      ba_max_active: int | None = 1024,
+                     lost_recovery: bool = True,
                      kf_hook=None, hook_state=None):
     """One full SLAM frame as a single traced computation (unjitted — shared
     by the scalar `fused_step` and the vmapped `slam/batched.py` variant).
@@ -128,8 +129,8 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
         hook_state = jnp.zeros((), jnp.int32)  # placeholder carried through
 
     def do_track(operands):
-        fs, ms, arc, kf_count, hook_state = operands
-        fs, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
+        fs0, ms, arc, kf_count, hook_state = operands
+        fs, n_in, n_tracked = fe.track_step(fs0, ms, pyr, cam_left,
                                             right_pyr, cam_right,
                                             chi2_th=chi2_th)
 
@@ -171,12 +172,71 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
         def no_kf(operands):
             return operands
 
-        fs, ms, arc, kf_count, hook_state = lax.cond(
-            want_kf, do_kf, no_kf, (fs, ms, arc, kf_count, hook_state))
+        def do_reinit(operands):
+            """Device-side LOST recovery (the reference's Frontend::Reset is
+            an unimplemented stub, frontend.cpp:723-731; the classic pipeline
+            relocalizes on the host, slam/pipeline.py): advance the pose by
+            the constant-velocity model, drop the mistracked features, and
+            attempt a fresh stereo re-initialization AS A NEW KEYFRAME into
+            the EXISTING map/archive. The success gate mirrors StereoInit
+            (`n_new >= num_features_init`); on failure everything except the
+            extrapolated pose reverts and the next frame retries — so a burst
+            of blank/garbage frames costs only motion-model drift."""
+            fs1, ms, arc, kf_count, hook_state = operands
+            pose_guess = se3.se3_compose(fs0.T_rel, fs0.T_cur)
+            # reset through the runtime `lost` predicate (see do_init: a
+            # trace-time-known fresh state would constant-fold the detector's
+            # free-slot scan into an array constant — the cliff)
+            fs_r = fe.FrontendState(
+                T_cur=jnp.where(lost, pose_guess, fs1.T_cur),
+                T_rel=fs0.T_rel,
+                feat_uv=jnp.where(lost, 0.0, fs1.feat_uv),
+                feat_lm=jnp.where(lost, -1, fs1.feat_lm),
+                feat_valid=fs1.feat_valid & ~lost,
+                pyr=pyr,
+                ref_uv=jnp.where(lost, 0.0, fs1.ref_uv),
+                ref_pyr=pyr,
+            )
+            kf_id = kf_count + 1
+            fs2, ms2, ev, n_new, n_r = fe.keyframe_step(
+                fs_r, ms, right_pyr, cam_left, cam_right, frame_id, kf_id,
+                num_features=num_features, min_distance=min_distance,
+                quality_level=quality_level, max_depth=max_depth,
+                num_active=num_active, detect_all=True, detector=detector)
+            ok = n_new >= num_features_init
+            # not enough fresh landmarks (e.g. a blank frame): revert the map
+            # wholesale, keep the extrapolated pose, stay lost for this frame
+            ms3 = jax.tree.map(lambda a, b: jnp.where(ok, a, b), ms2, ms)
+            fs3 = jax.tree.map(lambda a, b: jnp.where(ok, a, b), fs2, fs_r)
+            ev = ev._replace(happened=ev.happened & ok,
+                             lm_archived=ev.lm_archived & ok)
+            arc2 = _archive_eviction(arc, ev)
+            Tmax = arc2.kf_pose.shape[0]
+            slot = jnp.where(ok, jnp.clip(kf_id, 0, Tmax - 1), Tmax)
+            arc2 = arc2._replace(
+                kf_pose=arc2.kf_pose.at[slot].set(fs3.T_cur, mode="drop"),
+                kf_frame_id=arc2.kf_frame_id.at[slot].set(
+                    frame_id.astype(jnp.int32), mode="drop"),
+                kf_set=arc2.kf_set.at[slot].set(True, mode="drop"),
+            )
+            # the recovery keyframe is not fed to the loop-closure hook (same
+            # rule as the init keyframe)
+            return fs3, ms3, arc2, jnp.where(ok, kf_id, kf_count), hook_state
+
+        def track_branches(operands):
+            return lax.cond(want_kf, do_kf, no_kf, operands)
+
+        if lost_recovery:
+            fs, ms, arc, kf_count2, hook_state = lax.cond(
+                lost, do_reinit, track_branches,
+                (fs, ms, arc, kf_count, hook_state))
+        else:
+            fs, ms, arc, kf_count2, hook_state = track_branches(
+                (fs, ms, arc, kf_count, hook_state))
         out = FrameOutputs(n_inliers=n_in, n_tracked=n_tracked,
-                           kf_inserted=want_kf, kf_count=kf_count,
-                           pose=fs.T_cur)
-        return fs, ms, arc, kf_count, hook_state, out
+                           kf_inserted=want_kf | (kf_count2 > kf_count),
+                           kf_count=kf_count2, pose=fs.T_cur)
+        return fs, ms, arc, kf_count2, hook_state, out
 
     def _strip(res):
         fs, ms, arc, kf_count, hook_state2, out = res
@@ -240,7 +300,7 @@ fused_step = partial(jax.jit, static_argnames=(
     "num_levels", "num_features", "min_distance", "quality_level",
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
     "backend_on", "ba_iters", "detector", "num_features_init",
-    "init_branch", "ba_max_active"),
+    "init_branch", "ba_max_active", "lost_recovery"),
     donate_argnums=(0, 1, 2, 3))(_fused_step_impl)
 
 
