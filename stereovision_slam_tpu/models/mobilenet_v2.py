@@ -45,11 +45,20 @@ EMBED_DIM = 1280
 
 
 def _conv(x, w, stride=1, groups=1):
-    """NHWC conv with HWIO weights, SAME padding, bf16 MXU compute."""
+    """NHWC conv with HWIO weights, bf16 MXU compute.
+
+    Padding is the torch convention (k//2 on BOTH sides) rather than XLA
+    SAME: for stride-2 3x3 convs on even inputs SAME pads (0, 1) while
+    torchvision/cv::dnn pad (1, 1) — a one-pixel feature-map shift that
+    would break parity with the reference's cv::dnn inference
+    (loopclosure.cpp:73-129; verified against torch.onnx exports in
+    tests/test_mnv2_weights.py)."""
+    kh, kw = w.shape[0], w.shape[1]
     return lax.conv_general_dilated(
         x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
         window_strides=(stride, stride),
-        padding="SAME", feature_group_count=groups,
+        padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        feature_group_count=groups,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32,
     )
