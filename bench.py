@@ -1,11 +1,13 @@
 """End-to-end SLAM benchmark: frontend + BA frames/sec per chip.
 
 Runs the full pipeline (GFTT detection, pyramidal LK, LM pose solve, keyframe
-triangulation, Schur-complement BA) on a synthetic KITTI-scale stereo sequence
-(620x188, the reference's 2x-downsampled input size, dataset.cpp:126-129) on
-the default JAX backend (the real TPU under the driver).
+triangulation, Schur-complement BA) on a synthetic KITTI-scale stereo
+sequence (620x188, the reference's 2x-downsampled input size,
+dataset.cpp:126-129) on the default JAX backend (the real TPU under the
+driver).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "ate_rmse",
+"rpe_trans"}.
 
 Baseline: the reference publishes no fps numbers (BASELINE.md), and its
 g2o/Sophus/PCL deps are absent so the C++ binary cannot be built here.
@@ -16,16 +18,27 @@ an UPPER BOUND on the reference's achievable fps (the real pipeline adds the
 g2o solves, map bookkeeping, I/O and Rerun logging on top). vs_baseline is
 fps / that-upper-bound — i.e. a conservative speedup figure.
 
-Measurement protocol (shaped by the axon runtime's two dispatch cliffs,
-docs/PERFORMANCE.md):
-  * the synthetic scene is rendered by a SUBPROCESS
-    (benchmarks/render_scene.py) — the first device->host value readback in
-    a process permanently degrades all subsequent dispatch ~30x, and
-    converting render outputs to numpy is exactly such a readback;
-  * the measured loop performs ZERO readbacks: stereo-init (including its
-    retry decision) runs inside the fused device program, per-frame outputs
-    stay on device, and both best-of-2 passes complete BEFORE any value is
-    drained for the correctness guard.
+Measurement protocol — HONEST throughput (round 2 revision):
+
+  * On the axon runtime `block_until_ready` can return BEFORE queued
+    executions have actually completed (verified: enqueueing a 240-frame
+    sequence "finishes" in milliseconds, while the first value readback
+    then waits for the real work). Round-1 numbers measured enqueue rate,
+    not throughput — docs/PERFORMANCE.md "measurement honesty".
+  * The timed region therefore runs ONE pass and stops the clock only after
+    drain(): every per-frame output, keyframe pose and landmark has been
+    read back to host numpy. Nothing in-flight can inflate the number.
+  * Dispatch amortization: frames go through the UNROLLED chunk program
+    (slam/fused.py build_scan_chunk(unroll=True), 8 frames per dispatch),
+    so the figure is robust to slow/oversubscribed hosts — per-frame host
+    cost is ~1/8 of the per-frame fused mode's.
+  * The scene is rendered by a SUBPROCESS (benchmarks/render_scene.py) and
+    inputs are pre-staged on device: host readbacks before the timed region
+    would flip the axon runtime into its degraded dispatch mode
+    (docs/PERFORMANCE.md "readback cliff").
+  * Accuracy gate: the drained trajectory's ATE/RPE against the scene's
+    exact ground truth is computed and emitted alongside fps, so a
+    fast-but-broken run can never score (VERDICT r1 #9).
 """
 
 from __future__ import annotations
@@ -46,18 +59,22 @@ def main():
     # big SLAM programs; cache them across processes/rounds
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("BENCH_PLATFORM"):  # debug override (the axon plugin
+        # ignores the JAX_PLATFORMS env var; this config update works)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
     import jax.numpy as jnp
     import numpy as np
 
     sys.path.insert(0, "/root/repo/tests")
     import synthetic
 
-    from stereovision_slam_tpu.io.kitti import ArraySequenceDataset, StereoFrame
+    from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
     from stereovision_slam_tpu.slam.config import SlamConfig
-    from stereovision_slam_tpu.slam.fused import FusedVisualOdometry
+    from stereovision_slam_tpu.slam.fused import UnrolledVisualOdometry
 
     H, W = 188, 620
     T = 120
+    CHUNK = 8
     # Render the scene in an ISOLATED SUBPROCESS (module docstring): reading
     # rendered frames back to numpy inside this process would trip the axon
     # readback cliff before the measurement starts.
@@ -72,13 +89,22 @@ def main():
         data = np.load(scene)
         lefts = data["lefts"]
         rights = data["rights"]
+        gt_poses = data["poses"]
     rig = synthetic.make_stereo_rig()
 
-    cfg = SlamConfig()  # reference defaults: 150 features, window 10
+    cfg = SlamConfig()  # reference defaults (window 10, chi2 5.991, ...)
+    # 250 tracked features instead of the default 150: pure forward motion
+    # (this scene) is weakly observable — a 0.4 m forward-translation error
+    # moves a 15 m landmark's stereo disparity by only ~0.25 px — so drift
+    # is bounded by feature density, and near-field coverage matters. Every
+    # device array is statically sized at max_features=256 slots either way,
+    # so this costs NO throughput (num_features only changes the detector's
+    # top-k cut); measured ATE on this scene improves ~5x.
+    cfg.num_features = 250
 
-    # dispatch-health probe: the number below should be ~0.02-0.05 ms on a
-    # healthy axon runtime; >0.2 ms means the process is already degraded and
-    # the measurement will under-report (logged to stderr for diagnosis)
+    # dispatch-health probe (stderr): ~0.02-0.05 ms on a healthy axon
+    # runtime; >0.2 ms means the process started degraded and the honest
+    # number below will reflect that state
     probe_x = jnp.ones((8, 128))
     probe_f = jax.jit(lambda v: v * 2 + 1)
     probe_f(probe_x).block_until_ready()
@@ -89,60 +115,61 @@ def main():
     print(f"dispatch probe: {(time.perf_counter() - t0) / 50 * 1000:.3f} "
           "ms/op", file=sys.stderr)
 
-    # Pre-stage the frames on the device: the benchmark measures per-chip
-    # frontend+BA compute throughput. (Under the axon RPC tunnel each
-    # host->device image upload costs ~0.45ms of host time — an artifact of
-    # the tunnel, not the TPU's DMA path; the native prefetching loader +
-    # FusedVisualOdometry(prefetch_depth=...) overlap uploads on real hosts.)
-    dev_l = [jax.device_put(lefts[i]) for i in range(T)]
-    dev_r = [jax.device_put(rights[i]) for i in range(T)]
-    jax.block_until_ready((dev_l[-1], dev_r[-1]))
+    # Pre-stage the frame chunks on the device (the benchmark measures
+    # per-chip frontend+BA compute throughput; the native prefetching loader
+    # overlaps uploads on real hosts — io/native_loader.py).
+    chunks = []
+    for i in range(0, T, CHUNK):
+        chunks.append((
+            jax.device_put(lefts[i:i + CHUNK]),
+            jax.device_put(rights[i:i + CHUNK]),
+            jax.device_put(np.arange(i, i + CHUNK, dtype=np.int32)),
+            jax.device_put(np.ones(CHUNK, bool)),
+            list(range(i, i + CHUNK)),
+        ))
+    jax.block_until_ready((chunks[-1][0], chunks[-1][1]))
 
-    class DeviceResidentDataset(ArraySequenceDataset):
-        def frame_by_id(self, fid):
-            if fid < 0 or fid >= T:
-                return None
-            return StereoFrame(frame_id=fid, left=dev_l[fid],
-                               right=dev_r[fid])
+    vo = UnrolledVisualOdometry(cfg, ArraySequenceDataset(
+        lefts, rights, list(rig)), chunk_size=CHUNK)
+    vo.initialize()
 
-    # fused streaming mode: the whole frame (pyramid + LK + pose solve +
-    # stereo-init-with-retry + keyframe decision + triangulation + Schur BA)
-    # is ONE device program, no per-frame host syncs and no readbacks.
-    # Best-of-2 passes (the second reuses the compiled programs); both passes
-    # run BEFORE any drain so neither is poisoned by readbacks.
-    passes = []
-    for _rep in range(2):
-        ds = DeviceResidentDataset(lefts, rights, list(rig))
-        vo = FusedVisualOdometry(cfg, ds)
-        vo.initialize()
+    # warmup chunk: compiles (or cache-loads) the unrolled program; the
+    # dispatch call blocks for the compile itself
+    vo.step_chunk(*chunks[0][:4], host_fids=chunks[0][4], n=CHUNK)
 
-        # warmup: first steps compile/load the fused program (all branches)
-        warmup = 6
-        for _ in range(warmup):
-            if not vo.step():
-                break
-        jax.block_until_ready(vo.fs.T_cur)
+    # ---- timed region: enqueue all remaining chunks, then DRAIN ----
+    t0 = time.perf_counter()
+    n = 0
+    for c in chunks[1:]:
+        vo.step_chunk(*c[:4], host_fids=c[4], n=CHUNK)
+        n += CHUNK
+    keyframes, landmarks, frames = vo.drain()   # all results on host
+    dt = time.perf_counter() - t0
+    fps = n / dt if dt > 0 else 0.0
 
-        t0 = time.perf_counter()
-        n = 0
-        while vo.step():
-            n += 1
-        jax.block_until_ready(vo.fs.T_cur)
-        dt = time.perf_counter() - t0
-        passes.append((n / dt if dt > 0 else 0.0, vo))
+    # ---- correctness guard + accuracy (ground truth is exact) ----
+    n_in = np.array([int(f.n_inliers) for _, f in frames])
+    assert len(keyframes) >= 2, f"only {len(keyframes)} keyframes"
+    assert len(landmarks) > 50, f"only {len(landmarks)} landmarks"
+    assert np.all(n_in[1:] > 10), f"tracking collapsed: {n_in.tolist()}"
 
-    fps = max(p[0] for p in passes)
+    def center(p):
+        return -p[:, :3].T @ p[:, 3]
 
-    # correctness guard (AFTER timing — drain reads values back): a
-    # fast-but-broken run must not produce a score
-    for _, vo in passes:
-        keyframes, landmarks, frames = vo.drain()
-        n_in = np.array([int(f.n_inliers) for _, f in frames])
-        assert len(keyframes) >= 2, f"only {len(keyframes)} keyframes"
-        assert len(landmarks) > 50, f"only {len(landmarks)} landmarks"
-        assert np.all(n_in[1:] > 10), f"tracking collapsed: {n_in.tolist()}"
-        poses_arr = np.stack([pose for _, pose in keyframes.values()])
-        assert np.all(np.isfinite(poses_arr)), "non-finite keyframe poses"
+    kf_sorted = sorted(keyframes.values())
+    errs = [np.linalg.norm(center(pose) - center(gt_poses[fid]))
+            for fid, pose in kf_sorted]
+    ate_rmse = float(np.sqrt(np.mean(np.square(errs))))
+    assert np.isfinite(ate_rmse), "non-finite trajectory"
+    # RPE: translation error of consecutive keyframe deltas
+    rpes = []
+    for (fa, pa), (fb, pb) in zip(kf_sorted, kf_sorted[1:]):
+        d_est = center(pb) - center(pa)
+        d_gt = center(gt_poses[fb]) - center(gt_poses[fa])
+        rpes.append(np.linalg.norm(d_est - d_gt))
+    rpe = float(np.sqrt(np.mean(np.square(rpes)))) if rpes else 0.0
+    dist = 0.5 * T  # forward_motion_poses step=0.5
+    assert ate_rmse < 0.02 * dist, f"ATE {ate_rmse:.3f} m over {dist:.0f} m"
 
     # measured reference baseline: time the reference's own OpenCV hot-path
     # kernels on this host (see module docstring); fall back to the recorded
@@ -155,10 +182,13 @@ def main():
         ref_fps_bound = refbase.MEASURED_REFERENCE_FPS_UPPER_BOUND
 
     print(json.dumps({
-        "metric": "frontend+BA frames/sec per chip (synthetic KITTI-scale 620x188)",
+        "metric": "frontend+BA frames/sec per chip "
+                  "(synthetic KITTI-scale 620x188, drained end-to-end)",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / ref_fps_bound, 3),
+        "ate_rmse": round(ate_rmse, 4),
+        "rpe_trans": round(rpe, 4),
     }))
 
 

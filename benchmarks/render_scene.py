@@ -37,7 +37,8 @@ def main():
         poses, H=H, W=W, rig=rig)
     np.savez(out,
              lefts=np.asarray(lefts, np.float32),
-             rights=np.asarray(rights, np.float32))
+             rights=np.asarray(rights, np.float32),
+             poses=np.asarray(poses, np.float32))
 
 
 if __name__ == "__main__":
