@@ -77,6 +77,15 @@ class SlamConfig:
     keyframes_to_skip_in_candidate_search: int = 20  # loopclosure.cpp:243-247
     pose_rounds: int = 4             # frontend.cpp:481-524
     pose_iters_per_round: int = 10
+    # Documented tracking deviations from the reference, individually
+    # toggleable so their effect is MEASURED, not argued
+    # (tests/test_reference_faithful.py). All three off + defaults above =
+    # the reference's exact tracking topology (frontend.cpp:322-392,
+    # 394-558: frame-to-frame LK, single constant-velocity init, mono
+    # left-camera pose solve).
+    frontend_anchored_lk: int = 1    # re-localize vs anchor keyframe template
+    frontend_stereo_pose: int = 1    # solve per-frame pose over L+R residuals
+    frontend_multi_start: int = 1    # 3-init LM pose solve
     ba_lm_iters: int = 10            # backend.cpp:162-164
     ba_outlier_rounds: int = 5       # backend.cpp:166-193
     # BA landmark-axis compaction: the solver gathers the <= this-many

@@ -86,11 +86,13 @@ def _blend_obs_cameras(cam_left: Camera, cam_right: Camera, n_left: int,
     return Camera(*(blend(a, b) for a, b in zip(cam_left, cam_right)))
 
 
-@partial(jax.jit, static_argnames=("chi2_th", "rounds", "iters"))
+@partial(jax.jit, static_argnames=("chi2_th", "rounds", "iters",
+                                   "anchored", "multi_start"))
 def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
                cam_left: Camera, cur_right_pyr: tuple = None,
                cam_right: Camera = None, chi2_th: float = 5.991,
-               rounds: int = 4, iters: int = 10):
+               rounds: int = 4, iters: int = 10,
+               anchored: bool = True, multi_start: bool = True):
     """Track last-frame features into the current frame and solve the pose.
 
     One fused device program for the reference's Track() path
@@ -107,33 +109,43 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
 
     Returns (new_state, num_inliers, num_tracked). Inliers are counted on the
     left-camera residuals (reference-compatible thresholds).
+
+    `anchored=False` / `multi_start=False` (plus `cur_right_pyr=None`)
+    disable the three documented deviations and reproduce the reference's
+    exact tracking topology (frame-to-frame LK, single constant-velocity
+    init, mono pose solve) — the configuration the parity-bound test
+    (tests/test_reference_faithful.py) measures the improvements against.
     """
     F = fs.feat_uv.shape[0]
     T_guess = se3.se3_compose(fs.T_rel, fs.T_cur)
-    # multi-start inits for the pose solve: constant-velocity prediction,
-    # zero motion, and a half-step — breaks basin-trapping when the
-    # prediction drifts (see solve_pose_multi)
-    half_rel = se3.se3_exp(0.5 * se3.se3_log(fs.T_rel))
-    T_inits = jnp.stack([
-        T_guess,
-        fs.T_cur,
-        se3.se3_compose(half_rel, fs.T_cur),
-    ])
+    if multi_start:
+        # multi-start inits for the pose solve: constant-velocity prediction,
+        # zero motion, and a half-step — breaks basin-trapping when the
+        # prediction drifts (see solve_pose_multi)
+        half_rel = se3.se3_exp(0.5 * se3.se3_log(fs.T_rel))
+        T_inits = jnp.stack([
+            T_guess,
+            fs.T_cur,
+            se3.se3_compose(half_rel, fs.T_cur),
+        ])
+    else:
+        T_inits = T_guess[None]
     guess, lm_pos, linked = _landmark_guesses(
         cam_left, T_guess, m, fs.feat_uv, fs.feat_lm, fs.feat_valid)
 
     cur_uv, status = lk.track(list(fs.pyr), list(cur_pyr), fs.feat_uv,
                               initial_pts=guess)
-    # drift-free refinement: re-localize against the ANCHOR KEYFRAME's
-    # templates with the frame-to-frame result as initialization (removes
-    # template-update drift; the reference tracks frame-to-frame only,
-    # frontend.cpp:322-392, and tolerates the drift)
-    ref_uv, ref_status = lk.track(list(fs.ref_pyr), list(cur_pyr), fs.ref_uv,
-                                  initial_pts=cur_uv)
-    # trust the anchored result whenever its LK converged (status already
-    # encodes bounds + conditioning); an outlier gate here would disable the
-    # drift correction exactly when accumulated drift is largest
-    cur_uv = jnp.where(ref_status[:, None], ref_uv, cur_uv)
+    if anchored:
+        # drift-free refinement: re-localize against the ANCHOR KEYFRAME's
+        # templates with the frame-to-frame result as initialization (removes
+        # template-update drift; the reference tracks frame-to-frame only,
+        # frontend.cpp:322-392, and tolerates the drift)
+        ref_uv, ref_status = lk.track(list(fs.ref_pyr), list(cur_pyr),
+                                      fs.ref_uv, initial_pts=cur_uv)
+        # trust the anchored result whenever its LK converged (status already
+        # encodes bounds + conditioning); an outlier gate here would disable
+        # the drift correction exactly when accumulated drift is largest
+        cur_uv = jnp.where(ref_status[:, None], ref_uv, cur_uv)
     tracked = fs.feat_valid & status
     num_tracked = jnp.sum(tracked).astype(jnp.int32)
 

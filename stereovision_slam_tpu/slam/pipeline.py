@@ -104,12 +104,17 @@ class VisualOdometry:
             self._stereo_init(frame, pyr)
             return
 
-        right = jnp.asarray(frame.right, jnp.float32)
-        right_pyr = self._pyramid_fn(right)
+        if cfg.frontend_stereo_pose:
+            right = jnp.asarray(frame.right, jnp.float32)
+            right_pyr, cam_r = self._pyramid_fn(right), self.cam_right
+        else:  # reference-faithful: mono left-camera pose solve
+            right_pyr, cam_r = None, None
         fs_new, n_in, n_tracked = fe.track_step(
-            self.fs, self.ms, pyr, self.cam_left, right_pyr, self.cam_right,
+            self.fs, self.ms, pyr, self.cam_left, right_pyr, cam_r,
             chi2_th=cfg.chi2_th,
-            rounds=cfg.pose_rounds, iters=cfg.pose_iters_per_round)
+            rounds=cfg.pose_rounds, iters=cfg.pose_iters_per_round,
+            anchored=bool(cfg.frontend_anchored_lk),
+            multi_start=bool(cfg.frontend_multi_start))
         self.fs = fs_new
         num_inliers = int(n_in)
         self.inlier_history.append(num_inliers)

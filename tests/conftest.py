@@ -20,4 +20,13 @@ import jax  # noqa: E402
 # what actually forces the CPU backend for tests.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+# Persistent compilation cache: the big fused/scan programs dominate suite
+# wall time on CPU; caching their XLA compiles makes repeat runs (and every
+# per-worker re-compile under pytest-xdist) a disk load instead
+# (VERDICT r1 next-round #7). Shared with bench.py's cache dir — keys
+# include platform, so CPU test entries never collide with axon ones.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.default_backend() == "cpu"
