@@ -70,11 +70,20 @@ def main():
 
     from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
     from stereovision_slam_tpu.slam.config import SlamConfig
-    from stereovision_slam_tpu.slam.fused import UnrolledVisualOdometry
+    from stereovision_slam_tpu.slam.fused import (FusedVisualOdometry,
+                                                  ScanVisualOdometry)
 
     H, W = 188, 620
     T = 120
-    CHUNK = 8
+    # Dispatch topology under test — overridable for A/B probes in fresh
+    # processes (the axon cliffs are per-process, so mode comparisons must
+    # never share a process):
+    #   fused    — one dispatch per frame (smallest executable)
+    #   scan     — lax.scan chunk, one dispatch per CHUNK frames
+    #   unrolled — unrolled chunk (chunk_size x executable; measured
+    #              pathological on the real axon chip — ~30 s/dispatch)
+    MODE = os.environ.get("BENCH_MODE", "fused")
+    CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
     # Render the scene in an ISOLATED SUBPROCESS (module docstring): reading
     # rendered frames back to numpy inside this process would trip the axon
     # readback cliff before the measurement starts.
@@ -115,37 +124,55 @@ def main():
     print(f"dispatch probe: {(time.perf_counter() - t0) / 50 * 1000:.3f} "
           "ms/op", file=sys.stderr)
 
-    # Pre-stage the frame chunks on the device (the benchmark measures
-    # per-chip frontend+BA compute throughput; the native prefetching loader
-    # overlaps uploads on real hosts — io/native_loader.py).
-    chunks = []
-    for i in range(0, T, CHUNK):
-        chunks.append((
-            jax.device_put(lefts[i:i + CHUNK]),
-            jax.device_put(rights[i:i + CHUNK]),
-            jax.device_put(np.arange(i, i + CHUNK, dtype=np.int32)),
-            jax.device_put(np.ones(CHUNK, bool)),
-            list(range(i, i + CHUNK)),
-        ))
-    jax.block_until_ready((chunks[-1][0], chunks[-1][1]))
-
-    vo = UnrolledVisualOdometry(cfg, ArraySequenceDataset(
-        lefts, rights, list(rig)), chunk_size=CHUNK)
-    vo.initialize()
-
-    # warmup chunk: compiles (or cache-loads) the unrolled program; the
-    # dispatch call blocks for the compile itself
-    vo.step_chunk(*chunks[0][:4], host_fids=chunks[0][4], n=CHUNK)
-
-    # ---- timed region: enqueue all remaining chunks, then DRAIN ----
-    t0 = time.perf_counter()
-    n = 0
-    for c in chunks[1:]:
-        vo.step_chunk(*c[:4], host_fids=c[4], n=CHUNK)
-        n += CHUNK
-    keyframes, landmarks, frames = vo.drain()   # all results on host
-    dt = time.perf_counter() - t0
+    # Pre-stage every frame on the device (the benchmark measures per-chip
+    # frontend+BA compute throughput; the native prefetching loader overlaps
+    # uploads on real hosts — io/native_loader.py).
+    ds = ArraySequenceDataset(lefts, rights, list(rig))
+    t_setup = time.perf_counter()
+    if MODE == "fused":
+        vo = FusedVisualOdometry(cfg, ds, prefetch_depth=0)
+        vo.initialize()
+        vo._queue = [(i, jax.device_put(lefts[i]), jax.device_put(rights[i]))
+                     for i in range(T)]
+        jax.block_until_ready(vo._queue[-1][1])
+        vo.step()  # warmup frame: compiles (or cache-loads) the fused step
+        print(f"setup+compile: {time.perf_counter() - t_setup:.1f} s",
+              file=sys.stderr)
+        t0 = time.perf_counter()
+        n = 0
+        while vo.step():
+            n += 1
+        keyframes, landmarks, frames = vo.drain()   # all results on host
+        dt = time.perf_counter() - t0
+    else:
+        chunks = []
+        for i in range(0, T, CHUNK):
+            chunks.append((
+                jax.device_put(lefts[i:i + CHUNK]),
+                jax.device_put(rights[i:i + CHUNK]),
+                jax.device_put(np.arange(i, i + CHUNK, dtype=np.int32)),
+                jax.device_put(np.ones(CHUNK, bool)),
+                list(range(i, i + CHUNK)),
+            ))
+        jax.block_until_ready((chunks[-1][0], chunks[-1][1]))
+        vo = ScanVisualOdometry(cfg, ds, chunk_size=CHUNK,
+                                unroll=(MODE == "unrolled"))
+        vo.initialize()
+        # warmup chunk: compiles (or cache-loads) the chunk program; the
+        # dispatch call blocks for the compile itself
+        vo.step_chunk(*chunks[0][:4], host_fids=chunks[0][4], n=CHUNK)
+        print(f"setup+compile: {time.perf_counter() - t_setup:.1f} s",
+              file=sys.stderr)
+        # ---- timed region: enqueue all remaining chunks, then DRAIN ----
+        t0 = time.perf_counter()
+        n = 0
+        for c in chunks[1:]:
+            vo.step_chunk(*c[:4], host_fids=c[4], n=CHUNK)
+            n += CHUNK
+        keyframes, landmarks, frames = vo.drain()   # all results on host
+        dt = time.perf_counter() - t0
     fps = n / dt if dt > 0 else 0.0
+    print(f"timed region: {dt:.3f} s for {n} frames", file=sys.stderr)
 
     # ---- correctness guard + accuracy (ground truth is exact) ----
     n_in = np.array([int(f.n_inliers) for _, f in frames])

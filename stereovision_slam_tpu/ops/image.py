@@ -147,6 +147,34 @@ def sobel_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     return ix, iy
 
 
+def _bilinear_combine(raw, frac):
+    fx = frac[:, 0][:, None, None]
+    fy = frac[:, 1][:, None, None]
+    return (
+        (1 - fy) * (1 - fx) * raw[:, :-1, :-1]
+        + (1 - fy) * fx * raw[:, :-1, 1:]
+        + fy * (1 - fx) * raw[:, 1:, :-1]
+        + fy * fx * raw[:, 1:, 1:]
+    )
+
+
+def _patch_corners(img, centers, size):
+    H, W = img.shape
+    half = (size - 1) / 2.0
+    top_left = centers - half          # (N, 2) float, (x, y)
+    base = jnp.floor(top_left)
+    frac = top_left - base             # in [0, 1)
+    x0 = jnp.clip(base[:, 0].astype(jnp.int32), 0, W - size - 1)
+    y0 = jnp.clip(base[:, 1].astype(jnp.int32), 0, H - size - 1)
+    valid = (
+        (top_left[:, 0] >= 0.0)
+        & (top_left[:, 1] >= 0.0)
+        & (top_left[:, 0] + size < W)
+        & (top_left[:, 1] + size < H)
+    )
+    return y0, x0, frac, valid
+
+
 def sample_patches(img: jax.Array, centers: jax.Array, size: int):
     """Bilinearly sample `size` x `size` patches centered at float coords.
 
@@ -158,36 +186,45 @@ def sample_patches(img: jax.Array, centers: jax.Array, size: int):
     Returns:
       patches: (N, size, size).
       valid: (N,) bool — whole patch (incl. the +1 bilinear apron) in bounds.
+
+    Two bit-identical implementations, chosen by backend at trace time:
+
+      * CPU: one vmapped `dynamic_slice` per point (fast there).
+      * TPU: the vmapped slice lowers to ~N sequential slices at the
+        runtime's per-op latency floor (~1.3 us each — measured
+        benchmarks/probe_runtime.py, the dominant cost of the whole LK
+        tracker in round 1). Instead the row window is selected by a
+        one-hot (N*(size+1), H) @ (H, W) matmul on the MXU and the column
+        window by a per-point batched one-hot matmul — two large dense ops
+        instead of N tiny serialized ones. One-hot matmuls are exact
+        (each output element is 1.0 * pixel), so both paths return the
+        same bits.
     """
+    y0, x0, frac, valid = _patch_corners(img, centers, size)
+    if jax.default_backend() == "cpu":
+        def one(y, x):
+            return lax.dynamic_slice(img, (y, x), (size + 1, size + 1))
+        raw = jax.vmap(one)(y0, x0)
+    else:
+        raw = _gather_patches_mxu(img, y0, x0, size)
+    return _bilinear_combine(raw, frac), valid
+
+
+def _gather_patches_mxu(img, y0, x0, size):
+    """(N, size+1, size+1) integer-corner patches via one-hot MXU matmuls."""
     H, W = img.shape
-    half = (size - 1) / 2.0
-    top_left = centers - half          # (N, 2) float, (x, y)
-    base = jnp.floor(top_left)
-    frac = top_left - base             # in [0, 1)
-    x0 = base[:, 0].astype(jnp.int32)
-    y0 = base[:, 1].astype(jnp.int32)
-
-    valid = (
-        (top_left[:, 0] >= 0.0)
-        & (top_left[:, 1] >= 0.0)
-        & (top_left[:, 0] + size < W)
-        & (top_left[:, 1] + size < H)
-    )
-
-    def one(y, x):
-        return lax.dynamic_slice(img, (y, x), (size + 1, size + 1))
-
-    raw = jax.vmap(one)(jnp.clip(y0, 0, H - size - 1), jnp.clip(x0, 0, W - size - 1))
-
-    fx = frac[:, 0][:, None, None]
-    fy = frac[:, 1][:, None, None]
-    patches = (
-        (1 - fy) * (1 - fx) * raw[:, :-1, :-1]
-        + (1 - fy) * fx * raw[:, :-1, 1:]
-        + fy * (1 - fx) * raw[:, 1:, :-1]
-        + fy * fx * raw[:, 1:, 1:]
-    )
-    return patches, valid
+    N = y0.shape[0]
+    S = size + 1
+    hh = lax.broadcasted_iota(jnp.int32, (N, S, H), 2)
+    rr = lax.broadcasted_iota(jnp.int32, (N, S, H), 1)
+    rsel = (hh == y0[:, None, None] + rr).astype(img.dtype)
+    rows = jnp.einsum("nsh,hw->nsw", rsel, img,
+                      precision=lax.Precision.HIGHEST)
+    ww = lax.broadcasted_iota(jnp.int32, (N, W, S), 1)
+    cc = lax.broadcasted_iota(jnp.int32, (N, W, S), 2)
+    csel = (ww == x0[:, None, None] + cc).astype(img.dtype)
+    return jnp.einsum("nsw,nwc->nsc", rows, csel,
+                      precision=lax.Precision.HIGHEST)
 
 
 def bilinear_sample(img: jax.Array, pts: jax.Array):

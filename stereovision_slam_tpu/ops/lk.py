@@ -27,7 +27,7 @@ _PREC = jax.lax.Precision.HIGHEST
 
 
 def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
-                 min_eig_threshold):
+                 min_eig_threshold, mask=None):
     """One pyramid level of LK for all points. Returns (new_guesses, ok)."""
     H, W = prev_img.shape
     ix, iy = imops.scharr_gradients(prev_img)
@@ -47,8 +47,8 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     solvable = (min_eig > min_eig_threshold) & (det > 1e-12)
     det_safe = jnp.where(det > 1e-12, det, 1.0)
 
-    def body(_, carry):
-        pts, frozen = carry
+    def body(carry):
+        it, pts, frozen = carry
         cur, inb = imops.sample_patches(cur_img, pts, win_size)
         diff = cur - tmpl
         bx = jnp.sum(diff * gx, axis=(1, 2))
@@ -60,10 +60,20 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
         step_ok = solvable & inb & ~frozen
         new_pts = jnp.where(step_ok[:, None], pts - delta, pts)
         converged = jnp.sum(delta * delta, axis=-1) < eps * eps
-        return new_pts, frozen | (converged & step_ok) | ~(solvable & inb)
+        return (it + 1, new_pts,
+                frozen | (converged & step_ok) | ~(solvable & inb))
 
-    out_pts, _ = lax.fori_loop(0, max_iters, body,
-                               (guesses, jnp.zeros(guesses.shape[0], jnp.bool_)))
+    # early exit once every point is frozen (converged / unsolvable / out of
+    # bounds) — identical result to running all max_iters (frozen points
+    # never move), but with reprojection initial guesses typical frames
+    # converge in a handful of iterations, not 30. cv::calcOpticalFlowPyrLK
+    # exits per-point on the same criteria (COUNT+EPS).
+    frozen0 = (jnp.zeros(guesses.shape[0], jnp.bool_) if mask is None
+               else ~mask)  # untracked slots start frozen -> fast exit
+    out = lax.while_loop(
+        lambda c: (c[0] < max_iters) & ~jnp.all(c[2]), body,
+        (jnp.asarray(0, jnp.int32), guesses, frozen0))
+    out_pts = out[1]
     _, final_inb = imops.sample_patches(cur_img, out_pts, win_size)
     ok = tmpl_ok & solvable & final_inb
     return out_pts, ok
@@ -71,7 +81,7 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
 
 def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
           win_size: int = 11, max_iters: int = 30, eps: float = 0.01,
-          min_eig_threshold: float = 1e-4):
+          min_eig_threshold: float = 1e-4, mask=None):
     """Track points from the previous image into the current image.
 
     Args:
@@ -80,6 +90,10 @@ def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
       prev_pts: (N, 2) float (x, y) points in the previous image.
       initial_pts: (N, 2) initial guesses in the current image
         (OPTFLOW_USE_INITIAL_FLOW); defaults to prev_pts.
+      mask: optional (N,) bool; False slots are not iterated (their returned
+        position is the initial guess, status unspecified). Lets the
+        convergence early-exit ignore dead feature slots whose garbage
+        coordinates would otherwise iterate the full max_iters every call.
 
     Returns:
       cur_pts: (N, 2) tracked points.
@@ -107,7 +121,7 @@ def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
         cur_p = jnp.pad(cur_pyramid[level], pad, mode="edge")
         guesses, ok = _track_level(
             prev_p, cur_p, pts_l, guesses + off,
-            win_size, max_iters, eps, min_eig_threshold)
+            win_size, max_iters, eps, min_eig_threshold, mask=mask)
         guesses = guesses - off
         # only require conditioning at the finest level (coarse levels just
         # refine the guess; OpenCV behaves similarly for small images)

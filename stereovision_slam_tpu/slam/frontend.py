@@ -134,14 +134,15 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
         cam_left, T_guess, m, fs.feat_uv, fs.feat_lm, fs.feat_valid)
 
     cur_uv, status = lk.track(list(fs.pyr), list(cur_pyr), fs.feat_uv,
-                              initial_pts=guess)
+                              initial_pts=guess, mask=fs.feat_valid)
     if anchored:
         # drift-free refinement: re-localize against the ANCHOR KEYFRAME's
         # templates with the frame-to-frame result as initialization (removes
         # template-update drift; the reference tracks frame-to-frame only,
         # frontend.cpp:322-392, and tolerates the drift)
         ref_uv, ref_status = lk.track(list(fs.ref_pyr), list(cur_pyr),
-                                      fs.ref_uv, initial_pts=cur_uv)
+                                      fs.ref_uv, initial_pts=cur_uv,
+                                      mask=fs.feat_valid)
         # trust the anchored result whenever its LK converged (status already
         # encodes bounds + conditioning); an outlier gate here would disable
         # the drift correction exactly when accumulated drift is largest
@@ -156,7 +157,7 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
         guess_r, _, _ = _landmark_guesses(
             cam_right, T_guess, m, cur_uv, fs.feat_lm, fs.feat_valid)
         uv_r, status_r = lk.track(list(cur_pyr), list(cur_right_pyr), cur_uv,
-                                  initial_pts=guess_r)
+                                  initial_pts=guess_r, mask=use)
         use_r = use & status_r
         cam_obs = _blend_obs_cameras(cam_left, cam_right, F, F)
         pts2 = jnp.concatenate([lm_pos, lm_pos], axis=0)
@@ -256,7 +257,7 @@ def keyframe_step(fs: FrontendState, m: mapmod.MapState, right_pyr: tuple,
     guess_r, lm_pos, linked = _landmark_guesses(
         cam_right, fs.T_cur, m, feat_uv, feat_lm, feat_valid)
     uv_r, status_r = lk.track(list(fs.pyr), list(right_pyr), feat_uv,
-                              initial_pts=guess_r)
+                              initial_pts=guess_r, mask=feat_valid)
     has_r = feat_valid & status_r
     num_right = jnp.sum(has_r).astype(jnp.int32)
 
