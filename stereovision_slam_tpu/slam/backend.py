@@ -118,20 +118,36 @@ def _residuals(cam_obs: Camera, kf_pose: jax.Array, lm_pos: jax.Array,
 
 
 def _residuals_lr(cam_left: Camera, cam_right: Camera, kf_pose: jax.Array,
-                  lm_pos: jax.Array, obs: BAObservations):
+                  lm_pos: jax.Array, obs: BAObservations,
+                  lm_onehot: jax.Array | None = None):
     """Residual + Jacobians, processing the static left/right halves with the
     two scalar cameras directly (flatten_observations lays out left-camera
     rows first, then right). Equivalent to `_residuals` with a blended
     per-observation camera, but emits no per-observation camera arrays — and
-    therefore no constant-folded selector buffers (see `_blend_cameras`)."""
+    therefore no constant-folded selector buffers (see `_blend_cameras`).
+
+    `lm_onehot` (M, L): when supplied, the per-observation poses/points come
+    from a structural broadcast (the kf layout is [left(K,F); right(K,F)])
+    and a one-hot MXU matmul instead of row gathers — the in-loop fast path
+    (see `_assemble_onehot`). Invalid observations get P=0, which projects
+    behind the camera and is masked by the in-front flag like any other
+    invalid row."""
     M = obs.kf.shape[0]
     h = M // 2
 
+    if lm_onehot is not None:
+        K = kf_pose.shape[0]
+        F = h // K
+        T_all = jnp.broadcast_to(kf_pose[None, :, None], (2, K, F, 3, 4)
+                                 ).reshape(M, 3, 4)
+        P_all = jnp.einsum("ml,lc->mc", lm_onehot, lm_pos, precision=_PREC)
+    else:
+        T_all = kf_pose[obs.kf]
+        P_all = lm_pos[jnp.clip(obs.lm, 0)]
+
     def half(cam, sl):
-        T = kf_pose[obs.kf[sl]]
-        P = lm_pos[jnp.clip(obs.lm[sl], 0)]
         r, J_pose, J_point, p_cam = jacobians.reprojection_residual_jac(
-            cam, T, P, obs.uv[sl])
+            cam, T_all[sl], P_all[sl], obs.uv[sl])
         return r, J_pose, J_point, p_cam[..., 2] > 1e-6
 
     left = half(cam_left, slice(0, h))
@@ -159,6 +175,65 @@ def _assemble(r, J_pose, J_point, w, obs: BAObservations, K: int, L: int):
     return H_pp, b_p, H_ll, b_l, G
 
 
+def _assemble_onehot(r, J_pose, J_point, w, O: jax.Array, K: int):
+    """`_assemble` without scatters, for the single-chip LM loop.
+
+    Device traces of the LM while-loop (benchmarks/profile_step.py) showed
+    the three `.at[].add` scatters costing ~1.5 ms per iteration on the
+    real chip. The kf axis of the flattened observations is STRUCTURAL
+    (flatten_observations lays rows out as [left(K,F); right(K,F)]), so the
+    pose blocks reduce by reshape+sum; the landmark axis reduces through
+    the observation->landmark one-hot `O` (M, L) as MXU matmuls — exact
+    (each row selects one landmark with weight 1.0; only the f32 summation
+    ORDER differs from the scatter, a sub-ulp-per-term reassociation).
+    Weights `w` are zero for invalid observations, so no drop-index
+    handling is needed.
+    """
+    M = r.shape[0]
+    F = M // (2 * K)
+    L = O.shape[1]
+    wJp = J_pose * w[:, None, None]
+    wJl = J_point * w[:, None, None]
+    Hpp_e = jnp.einsum("nab,nac->nbc", wJp, J_pose, precision=_PREC)
+    Hll_e = jnp.einsum("nab,nac->nbc", wJl, J_point, precision=_PREC)
+    G_e = jnp.einsum("nab,nac->nbc", wJp, J_point, precision=_PREC)
+    bp_e = jnp.einsum("nab,na->nb", wJp, r, precision=_PREC)
+    bl_e = jnp.einsum("nab,na->nb", wJl, r, precision=_PREC)
+
+    H_pp = Hpp_e.reshape(2, K, F, 6, 6).sum(axis=(0, 2))
+    b_p = bp_e.reshape(2, K, F, 6).sum(axis=(0, 2))
+    H_ll = jnp.einsum("ml,mbc->lbc", O, Hll_e, precision=_PREC)
+    b_l = jnp.einsum("ml,mb->lb", O, bl_e, precision=_PREC)
+    G = jnp.einsum("ckfl,ckfab->lkab", O.reshape(2, K, F, L),
+                   G_e.reshape(2, K, F, 6, 3), precision=_PREC)
+    return H_pp, b_p, H_ll, b_l, G
+
+
+def _inv3x3(A: jax.Array) -> jax.Array:
+    """Batched closed-form 3x3 inverse (adjugate / det).
+
+    `jnp.linalg.inv` on (L, 3, 3) lowers to a batched LuDecompositionBlock
+    custom call costing ~0.8 ms per LM iteration on the chip
+    (benchmarks/profile_step.py); the adjugate form is a handful of fused
+    elementwise ops. Singular blocks return 0 (callers mask inactive
+    landmarks anyway; damped active blocks are PD by construction).
+    """
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A21 = f * g - d * i
+    A31 = d * h - e * g
+    det = a * A11 + b * A21 + c * A31
+    inv_det = jnp.where(jnp.abs(det) > 1e-30, 1.0 / det, 0.0)
+    adj = jnp.stack([
+        jnp.stack([A11, c * h - b * i, b * f - c * e], axis=-1),
+        jnp.stack([A21, a * i - c * g, c * d - a * f], axis=-1),
+        jnp.stack([A31, b * g - a * h, a * e - b * d], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
 def schur_solve(H_pp, b_p, H_ll, b_l, G, lam, kf_active, lm_active):
     """Marginalize landmarks, solve the reduced camera system, back-substitute.
 
@@ -178,7 +253,7 @@ def schur_solve(H_pp, b_p, H_ll, b_l, G, lam, kf_active, lm_active):
     Hll_d = H_ll + lam * eye3 * jnp.maximum(
         jnp.diagonal(H_ll, axis1=-2, axis2=-1), 1e-6)[..., None] * eye3
     Hll_d = jnp.where(lm_active[:, None, None], Hll_d, eye3)
-    Hll_inv = jnp.linalg.inv(Hll_d)
+    Hll_inv = _inv3x3(Hll_d)
     Hll_inv = jnp.where(lm_active[:, None, None], Hll_inv, 0.0)
 
     # reduced camera system S = H_pp - G Hll^-1 G^T  (K,K,6,6)
@@ -272,26 +347,31 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
         obs_c = obs
         L_solve = L
 
-    def chi2_fn(kf_pose, lm_pos, o):
+    # observation->landmark one-hot, shared by every gather/assembly in the
+    # LM loop below (obs_c.lm is loop-invariant; see _assemble_onehot)
+    O = ((obs_c.lm[:, None] == jnp.arange(L_solve, dtype=jnp.int32)[None, :])
+         & obs_c.valid[:, None]).astype(dtype)
+
+    def chi2_fn(kf_pose, lm_pos, o, lm_onehot=None):
         r, _, _, in_front = _residuals_lr(cam_left, cam_right, kf_pose,
-                                          lm_pos, o)
+                                          lm_pos, o, lm_onehot=lm_onehot)
         c = jnp.sum(r * r, axis=-1)
         return jnp.where(o.valid & in_front, c, 0.0), in_front
 
     def robust_total(kf_pose, lm_pos):
-        c, in_front = chi2_fn(kf_pose, lm_pos, obs_c)
+        c, in_front = chi2_fn(kf_pose, lm_pos, obs_c, lm_onehot=O)
         rho = jnp.where(c <= huber_d2, c, 2.0 * jnp.sqrt(huber_d2 * c) - huber_d2)
         return jnp.sum(jnp.where(obs_c.valid & in_front, rho, 0.0))
 
     def lm_step(_, carry):
         kf_pose, lm_pos, lam = carry
-        r, J_pose, J_point, in_front = _residuals_lr(cam_left, cam_right,
-                                                     kf_pose, lm_pos, obs_c)
+        r, J_pose, J_point, in_front = _residuals_lr(
+            cam_left, cam_right, kf_pose, lm_pos, obs_c, lm_onehot=O)
         c = jnp.sum(r * r, axis=-1)
         w = jacobians.huber_weight(c, huber_d2)
         w = jnp.where(obs_c.valid & in_front, w, 0.0)
-        H_pp, b_p, H_ll, b_l, G = _assemble(r, J_pose, J_point, w, obs_c,
-                                            K, L_solve)
+        H_pp, b_p, H_ll, b_l, G = _assemble_onehot(r, J_pose, J_point, w,
+                                                   O, K)
         dx_p, dx_l = schur_solve(H_pp, b_p, H_ll, b_l, G, lam,
                                  kf_free, lm_active_c)
         kf_new = se3.se3_compose(se3.se3_exp(dx_p), kf_pose)

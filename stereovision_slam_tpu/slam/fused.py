@@ -484,7 +484,13 @@ class FusedVisualOdometry:
     # ------------------------------------------------------------------ #
 
     def drain(self):
-        """Materialize archives + per-frame outputs on the host (one sync)."""
+        """Materialize archives + per-frame outputs on the host (one sync).
+
+        Per-frame outputs are STACKED ON DEVICE first and pulled with one
+        transfer per leaf: each device->host read pays the tunnel's ~24 ms
+        round trip (benchmarks/probe_runtime.py "readback"), so reading T
+        frames' outputs leaf-by-leaf would cost T*6 round trips (~17 s for
+        a 120-frame run) versus 6 after stacking."""
         arc = jax.tree.map(np.asarray, self.arc)
         ms = jax.tree.map(np.asarray, self.ms)
         fs_pose = np.asarray(self.fs.T_cur)
@@ -503,8 +509,15 @@ class FusedVisualOdometry:
         for slot in np.nonzero(ms.lm_valid)[0]:
             landmarks[int(ms.lm_id[slot])] = ms.lm_pos[slot]
 
-        frames = [(fid, FrameOutputs(*[np.asarray(v) for v in out]))
-                  for fid, out in self.outputs]
+        if self.outputs:
+            fids = [fid for fid, _ in self.outputs]
+            stacked = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                   *[out for _, out in self.outputs])
+            host = FrameOutputs(*[np.asarray(v) for v in stacked])
+            frames = [(fid, FrameOutputs(*[np.asarray(v[i]) for v in host]))
+                      for i, fid in enumerate(fids)]
+        else:
+            frames = []
         return keyframes, landmarks, frames
 
     def trajectory(self) -> dict[int, np.ndarray]:
@@ -694,13 +707,26 @@ class ScanVisualOdometry(FusedVisualOdometry):
         self._pending_chunks.append((host_fids[:n], outs, n))
 
     def _flush_pending(self) -> None:
-        # unstack chunked outputs into the per-frame list once, host-side
+        # unstack chunked outputs into the per-frame list once, host-side;
+        # all chunks are concatenated ON DEVICE first so the host pull is
+        # one ~24 ms round trip per leaf instead of one per chunk per leaf
+        # (see drain())
+        if not self._pending_chunks:
+            return
+        cat = jax.tree.map(lambda *xs: jnp.concatenate(xs),
+                           *[outs for _, outs, _ in self._pending_chunks])
+        host = FrameOutputs(*[np.asarray(v) for v in cat])
+        off = 0
         for fids, outs, n in self._pending_chunks:
-            host = jax.tree.map(np.asarray, outs)
             for i in range(n):
                 self.outputs.append((int(fids[i]), FrameOutputs(
-                    *[np.asarray(v[i]) for v in host])))
+                    *[np.asarray(v[off + i]) for v in host])))
+            off += self._chunk_len(outs)
         self._pending_chunks = []
+
+    @staticmethod
+    def _chunk_len(outs) -> int:
+        return int(jax.tree.leaves(outs)[0].shape[0])
 
     def drain(self):
         self._flush_pending()
