@@ -20,22 +20,22 @@ fps / that-upper-bound — i.e. a conservative speedup figure.
 
 Measurement protocol — HONEST throughput (round 2 revision):
 
-  * On the axon runtime `block_until_ready` can return BEFORE queued
-    executions have actually completed (verified: enqueueing a 240-frame
-    sequence "finishes" in milliseconds, while the first value readback
-    then waits for the real work). Round-1 numbers measured enqueue rate,
-    not throughput — docs/PERFORMANCE.md "measurement honesty".
-  * The timed region therefore runs ONE pass and stops the clock only after
-    drain(): every per-frame output, keyframe pose and landmark has been
-    read back to host numpy. Nothing in-flight can inflate the number.
-  * Dispatch amortization: frames go through the UNROLLED chunk program
-    (slam/fused.py build_scan_chunk(unroll=True), 8 frames per dispatch),
-    so the figure is robust to slow/oversubscribed hosts — per-frame host
-    cost is ~1/8 of the per-frame fused mode's.
-  * The scene is rendered by a SUBPROCESS (benchmarks/render_scene.py) and
-    inputs are pre-staged on device: host readbacks before the timed region
-    would flip the axon runtime into its degraded dispatch mode
-    (docs/PERFORMANCE.md "readback cliff").
+  * Round-1 numbers (ours AND the driver's capture) measured ENQUEUE RATE:
+    dispatches were timed without waiting for their execution, which on
+    this runtime can run 10-100x slower than the enqueue loop. Every
+    number this benchmark emits now stops the clock only after real
+    completion — see docs/PERFORMANCE.md "measurement honesty".
+  * The timed region runs ONE pass and ends after drain(): every per-frame
+    output, keyframe pose and landmark has been read back to host numpy.
+    Nothing in-flight can inflate the number.
+  * A tiny (12-float) readback every 8 frames keeps the dispatch queue
+    shallow: flooding the runtime with a whole sequence of unsynchronized
+    dispatches degrades per-frame execution ~10x
+    (benchmarks/probe_stream.py). The sync waits for true completion, so
+    it can only make the measured fps SLOWER, never faster.
+  * The scene is rendered by a SUBPROCESS (benchmarks/render_scene.py) so
+    the benchmark process stays free of render work and large host
+    round-trips before the timed region.
   * Accuracy gate: the drained trajectory's ATE/RPE against the scene's
     exact ground truth is computed and emitted alongside fps, so a
     fast-but-broken run can never score (VERDICT r1 #9).
@@ -136,12 +136,21 @@ def main():
                      for i in range(T)]
         jax.block_until_ready(vo._queue[-1][1])
         vo.step()  # warmup frame: compiles (or cache-loads) the fused step
+        np.asarray(vo.fs.T_cur)
         print(f"setup+compile: {time.perf_counter() - t_setup:.1f} s",
               file=sys.stderr)
         t0 = time.perf_counter()
         n = 0
         while vo.step():
             n += 1
+            # periodic tiny sync: the axon runtime degrades ~10x when >>60
+            # dispatches are enqueued with no host synchronization at all
+            # (measured benchmarks/probe_stream.py round 2); one 12-float
+            # readback per 8 frames costs ~3 ms/frame amortized and keeps
+            # the queue shallow. This WAITS for real completion, so the
+            # clock still measures true throughput.
+            if n % 8 == 0:
+                np.asarray(vo.fs.T_cur)
         keyframes, landmarks, frames = vo.drain()   # all results on host
         dt = time.perf_counter() - t0
     else:

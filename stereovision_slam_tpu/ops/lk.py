@@ -26,9 +26,24 @@ from stereovision_slam_tpu.ops import image as imops
 _PREC = jax.lax.Precision.HIGHEST
 
 
+_WINDOW_MARGIN = 10  # px each side a point may travel within one level
+
+
 def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
                  min_eig_threshold, mask=None):
-    """One pyramid level of LK for all points. Returns (new_guesses, ok)."""
+    """One pyramid level of LK for all points. Returns (new_guesses, ok).
+
+    On TPU the per-iteration current-image patch is sampled from a per-point
+    (P, P) WINDOW gathered once per level (P = win+1 + 2*_WINDOW_MARGIN)
+    instead of from the full image: inside the window the bilinear result is
+    bit-identical (same pixels, same arithmetic) while the per-iteration
+    one-hot shrinks from (N*S, H)x(H, W) full-image matmuls (~0.8 GFLOP) to
+    (S, P)x(P, P) batched ones (~5 MFLOP). A point that travels further than
+    the margin within one level freezes with status false — with
+    coarse-to-fine guesses the per-level correction is a few pixels, and a
+    point moving >10 px against its initialization at one level is a failed
+    track by any measure (cv::calcOpticalFlowPyrLK would return it as a
+    wrong-lock instead)."""
     H, W = prev_img.shape
     ix, iy = imops.scharr_gradients(prev_img)
 
@@ -47,9 +62,45 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     solvable = (min_eig > min_eig_threshold) & (det > 1e-12)
     det_safe = jnp.where(det > 1e-12, det, 1.0)
 
+    windowed = jax.default_backend() != "cpu"
+    half = (win_size - 1) / 2.0
+    S = win_size + 1                       # raw patch incl. bilinear apron
+    if windowed:
+        P = S + 2 * _WINDOW_MARGIN
+        corner = jnp.floor(guesses - half).astype(jnp.int32) - _WINDOW_MARGIN
+        cx = jnp.clip(corner[:, 0], 0, max(W - P, 0))
+        cy = jnp.clip(corner[:, 1], 0, max(H - P, 0))
+        big = imops._gather_patches_mxu(cur_img, cy, cx, P - 1)  # (N, P, P)
+        sidx = lax.broadcasted_iota(jnp.int32, (1, S, P), 2)
+        soff = lax.broadcasted_iota(jnp.int32, (1, S, P), 1)
+        qidx = lax.broadcasted_iota(jnp.int32, (1, P, S), 1)
+        qoff = lax.broadcasted_iota(jnp.int32, (1, P, S), 2)
+
+    def sample_cur(pts):
+        if not windowed:
+            return imops.sample_patches(cur_img, pts, win_size)
+        tl = pts - half
+        # original full-image validity (matches sample_patches' contract)
+        g_ok = ((tl[:, 0] >= 0.0) & (tl[:, 1] >= 0.0)
+                & (tl[:, 0] + win_size < W) & (tl[:, 1] + win_size < H))
+        loc = tl - jnp.stack([cx, cy], axis=-1).astype(tl.dtype)
+        in_win = ((loc[:, 0] >= 0.0) & (loc[:, 1] >= 0.0)
+                  & (loc[:, 0] + S <= P) & (loc[:, 1] + S <= P))
+        base = jnp.floor(loc)
+        frac = loc - base
+        x0 = jnp.clip(base[:, 0].astype(jnp.int32), 0, P - S)
+        y0 = jnp.clip(base[:, 1].astype(jnp.int32), 0, P - S)
+        rsel = (sidx == y0[:, None, None] + soff).astype(big.dtype)
+        csel = (qidx == x0[:, None, None] + qoff).astype(big.dtype)
+        rows = jnp.einsum("nsp,npq->nsq", rsel, big,
+                          precision=lax.Precision.HIGHEST)
+        raw = jnp.einsum("nsq,nqc->nsc", rows, csel,
+                         precision=lax.Precision.HIGHEST)
+        return imops._bilinear_combine(raw, frac), g_ok & in_win
+
     def body(carry):
         it, pts, frozen = carry
-        cur, inb = imops.sample_patches(cur_img, pts, win_size)
+        cur, inb = sample_cur(pts)
         diff = cur - tmpl
         bx = jnp.sum(diff * gx, axis=(1, 2))
         by = jnp.sum(diff * gy, axis=(1, 2))
