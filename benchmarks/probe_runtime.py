@@ -127,3 +127,41 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def probe_irregular():
+    """Row-gather / scatter-add / batched small-inverse costs (BA suspects)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(rng.integers(0, 1024, 8192).astype(np.int32))
+    table = jnp.asarray(rng.uniform(0, 1, (1024, 3)).astype(np.float32))
+    upd = jnp.asarray(rng.uniform(0, 1, (8192, 3, 3)).astype(np.float32))
+    mats = jnp.asarray(rng.uniform(0, 1, (1024, 3, 3)).astype(np.float32)) + \
+        3.0 * jnp.eye(3)
+
+    timed("row-gather (8192 idx from (1024,3))",
+          jax.jit(lambda t, i: t[i]), table, idx)
+    timed("scatter-add (8192,3,3) into (1024,3,3)",
+          jax.jit(lambda u, i: jnp.zeros((1024, 3, 3), jnp.float32)
+                  .at[i].add(u)), upd, idx)
+    onehot = jax.jit(lambda i: (i[:, None] == jnp.arange(1024)[None, :])
+                     .astype(jnp.float32))
+    timed("one-hot scatter-add equivalent (matmul)",
+          jax.jit(lambda u, i: jnp.einsum(
+              "ml,mbc->lbc", onehot(i), u,
+              precision=jax.lax.Precision.HIGHEST)), upd, idx)
+    timed("batched inv (1024,3,3) via linalg.inv",
+          jax.jit(jnp.linalg.inv), mats)
+    timed("batched 96x96 solve",
+          jax.jit(lambda A, b: jnp.linalg.solve(A, b)),
+          jnp.eye(96) * 3 + jnp.ones((96, 96)) * 0.01, jnp.ones((96,)))
+    sc = jnp.asarray(rng.uniform(0, 1, (1024, 3)).astype(np.float32))
+    timed("scatter-set (1024 rows into (4096,3))",
+          jax.jit(lambda t, i, v: t.at[i].set(v)),
+          jnp.zeros((4096, 3)), idx[:1024], sc)
+
+
+if __name__ == "__main__" and "irregular" in sys.argv:
+    probe_irregular()

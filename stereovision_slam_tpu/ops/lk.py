@@ -62,7 +62,13 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     solvable = (min_eig > min_eig_threshold) & (det > 1e-12)
     det_safe = jnp.where(det > 1e-12, det, 1.0)
 
-    windowed = jax.default_backend() != "cpu"
+    # Window only the LARGE fine levels: at coarse levels the full-image
+    # one-hot is already tiny, and — critically — coarse levels are where
+    # the motion is still large (a 100 px stereo disparity is 12.5 px at
+    # level 3: freezing there at the margin loses exactly the near-field
+    # points whose disparity pins the forward translation; measured +40%
+    # ATE on the benchmark scene when windowing all levels).
+    windowed = jax.default_backend() != "cpu" and H * W > 32768
     half = (win_size - 1) / 2.0
     S = win_size + 1                       # raw patch incl. bilinear apron
     if windowed:
