@@ -151,8 +151,11 @@ def main():
             # clock still measures true throughput.
             if n % 8 == 0:
                 np.asarray(vo.fs.T_cur)
+        t_enq = time.perf_counter() - t0
         keyframes, landmarks, frames = vo.drain()   # all results on host
         dt = time.perf_counter() - t0
+        print(f"enqueue+sync: {t_enq:.3f} s, drain: {dt - t_enq:.3f} s",
+              file=sys.stderr)
     else:
         chunks = []
         for i in range(0, T, CHUNK):
