@@ -30,7 +30,7 @@ _WINDOW_MARGIN = 10  # px each side a point may travel within one level
 
 
 def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
-                 min_eig_threshold, mask=None):
+                 min_eig_threshold, mask=None, windowed=None):
     """One pyramid level of LK for all points. Returns (new_guesses, ok).
 
     On TPU the per-iteration current-image patch is sampled from a per-point
@@ -43,7 +43,11 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     coarse-to-fine guesses the per-level correction is a few pixels, and a
     point moving >10 px against its initialization at one level is a failed
     track by any measure (cv::calcOpticalFlowPyrLK would return it as a
-    wrong-lock instead)."""
+    wrong-lock instead).
+
+    `windowed` overrides the trace-time path choice (None = by backend +
+    level size) so CPU tests can exercise the windowed kernel and assert
+    parity against the dynamic-slice path."""
     H, W = prev_img.shape
     ix, iy = imops.scharr_gradients(prev_img)
 
@@ -68,11 +72,16 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     # level 3: freezing there at the margin loses exactly the near-field
     # points whose disparity pins the forward translation; measured +40%
     # ATE on the benchmark scene when windowing all levels).
-    windowed = jax.default_backend() != "cpu" and H * W > 32768
     half = (win_size - 1) / 2.0
     S = win_size + 1                       # raw patch incl. bilinear apron
+    P = S + 2 * _WINDOW_MARGIN
+    # guard min(H, W) >= P: a skinnier level than the window would make the
+    # clipped corner request out-of-range rows/cols that the one-hot gather
+    # silently zero-fills (corrupt patches) — fall back to full-image there
+    if windowed is None:
+        windowed = jax.default_backend() != "cpu" and H * W > 32768
+    windowed = windowed and min(H, W) >= P
     if windowed:
-        P = S + 2 * _WINDOW_MARGIN
         corner = jnp.floor(guesses - half).astype(jnp.int32) - _WINDOW_MARGIN
         cx = jnp.clip(corner[:, 0], 0, max(W - P, 0))
         cy = jnp.clip(corner[:, 1], 0, max(H - P, 0))
@@ -84,7 +93,8 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
 
     def sample_cur(pts):
         if not windowed:
-            return imops.sample_patches(cur_img, pts, win_size)
+            patches, inb = imops.sample_patches(cur_img, pts, win_size)
+            return patches, inb, jnp.ones(pts.shape[0], jnp.bool_)
         tl = pts - half
         # original full-image validity (matches sample_patches' contract)
         g_ok = ((tl[:, 0] >= 0.0) & (tl[:, 1] >= 0.0)
@@ -102,11 +112,11 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
                           precision=lax.Precision.HIGHEST)
         raw = jnp.einsum("nsq,nqc->nsc", rows, csel,
                          precision=lax.Precision.HIGHEST)
-        return imops._bilinear_combine(raw, frac), g_ok & in_win
+        return imops._bilinear_combine(raw, frac), g_ok & in_win, in_win
 
     def body(carry):
-        it, pts, frozen = carry
-        cur, inb = sample_cur(pts)
+        it, pts, frozen, left_win = carry
+        cur, inb, in_win = sample_cur(pts)
         diff = cur - tmpl
         bx = jnp.sum(diff * gx, axis=(1, 2))
         by = jnp.sum(diff * gy, axis=(1, 2))
@@ -117,8 +127,13 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
         step_ok = solvable & inb & ~frozen
         new_pts = jnp.where(step_ok[:, None], pts - delta, pts)
         converged = jnp.sum(delta * delta, axis=-1) < eps * eps
+        # a still-active point whose patch exits the per-level window is a
+        # failed track: it freezes here AND its final status must be False
+        # (the full-image bounds check below cannot see the window exit)
+        left_win = left_win | (~in_win & ~frozen)
         return (it + 1, new_pts,
-                frozen | (converged & step_ok) | ~(solvable & inb))
+                frozen | (converged & step_ok) | ~(solvable & inb),
+                left_win)
 
     # early exit once every point is frozen (converged / unsolvable / out of
     # bounds) — identical result to running all max_iters (frozen points
@@ -129,16 +144,17 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
                else ~mask)  # untracked slots start frozen -> fast exit
     out = lax.while_loop(
         lambda c: (c[0] < max_iters) & ~jnp.all(c[2]), body,
-        (jnp.asarray(0, jnp.int32), guesses, frozen0))
-    out_pts = out[1]
+        (jnp.asarray(0, jnp.int32), guesses, frozen0,
+         jnp.zeros(guesses.shape[0], jnp.bool_)))
+    out_pts, left_win = out[1], out[3]
     _, final_inb = imops.sample_patches(cur_img, out_pts, win_size)
-    ok = tmpl_ok & solvable & final_inb
+    ok = tmpl_ok & solvable & final_inb & ~left_win
     return out_pts, ok
 
 
 def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
           win_size: int = 11, max_iters: int = 30, eps: float = 0.01,
-          min_eig_threshold: float = 1e-4, mask=None):
+          min_eig_threshold: float = 1e-4, mask=None, windowed=None):
     """Track points from the previous image into the current image.
 
     Args:
@@ -151,6 +167,9 @@ def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
         position is the initial guess, status unspecified). Lets the
         convergence early-exit ignore dead feature slots whose garbage
         coordinates would otherwise iterate the full max_iters every call.
+      windowed: force (True) or forbid (False) the windowed per-level
+        sampling path; None picks by backend + level size (TPU, large
+        levels). Tests use True on CPU to cover the windowed kernel.
 
     Returns:
       cur_pts: (N, 2) tracked points.
@@ -178,7 +197,8 @@ def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
         cur_p = jnp.pad(cur_pyramid[level], pad, mode="edge")
         guesses, ok = _track_level(
             prev_p, cur_p, pts_l, guesses + off,
-            win_size, max_iters, eps, min_eig_threshold, mask=mask)
+            win_size, max_iters, eps, min_eig_threshold, mask=mask,
+            windowed=windowed)
         guesses = guesses - off
         # only require conditioning at the finest level (coarse levels just
         # refine the guess; OpenCV behaves similarly for small images)

@@ -129,9 +129,10 @@ def _residuals_lr(cam_left: Camera, cam_right: Camera, kf_pose: jax.Array,
     `lm_onehot` (M, L): when supplied, the per-observation poses/points come
     from a structural broadcast (the kf layout is [left(K,F); right(K,F)])
     and a one-hot MXU matmul instead of row gathers — the in-loop fast path
-    (see `_assemble_onehot`). Invalid observations get P=0, which projects
-    behind the camera and is masked by the in-front flag like any other
-    invalid row."""
+    (see `_assemble_onehot`). Invalid observations get P=0 (the world
+    origin); such rows are masked by `obs.valid` (weight 0) in every
+    consumer — NOT by cheirality, since the origin can legitimately sit in
+    front of a moved camera."""
     M = obs.kf.shape[0]
     h = M // 2
 

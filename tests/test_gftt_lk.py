@@ -109,6 +109,56 @@ def test_lk_status_false_for_out_of_bounds():
     assert not bool(status[0])
 
 
+def test_lk_windowed_matches_full_path():
+    """The windowed TPU sampling path must agree with the dynamic-slice path
+    for in-window tracks (forced via the explicit `windowed` parameter so the
+    CPU suite covers the TPU kernel — ADVICE r2 medium)."""
+    key = jax.random.PRNGKey(0)
+    H, W = 160, 200
+    img0 = synthetic.smooth_texture(key, H, W)
+    img1 = synthetic.translate_image(img0, 3.7, -2.3)
+    pyr0 = imops.build_pyramid(img0, 3)
+    pyr1 = imops.build_pyramid(img1, 3)
+    pts, valid, _ = gftt.detect(img0, max_corners=48, min_distance=10)
+
+    cur_f, st_f = lk.track(pyr0, pyr1, pts, mask=valid, windowed=False)
+    cur_w, st_w = lk.track(pyr0, pyr1, pts, mask=valid, windowed=True)
+    v = np.asarray(valid)
+    # small motion: nothing leaves the +-10 px window, so positions and
+    # statuses are identical (one-hot matmul gathers are exact)
+    np.testing.assert_array_equal(np.asarray(st_f)[v], np.asarray(st_w)[v])
+    np.testing.assert_allclose(np.asarray(cur_f)[v], np.asarray(cur_w)[v],
+                               atol=1e-4)
+
+
+def test_lk_windowed_exit_reports_failure():
+    """A point whose iteration walks out of its per-level window must return
+    status False (ADVICE r2 high: previously the stale mid-iteration position
+    came back with status True because only full-image bounds were checked)."""
+    H, W = 160, 200
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+
+    def blob(cx, cy, sig=12.0):
+        return 200.0 * jnp.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                               / (2 * sig * sig))
+
+    # wide Gaussian blob moved 14 px: LK walks the smooth slope the whole
+    # way — farther than the 10 px per-level window margin
+    img0 = blob(100.0, 80.0)
+    img1 = blob(114.0, 80.0)
+    pts = jnp.array([[100.0, 80.0]])
+
+    cur_f, st_f = lk.track([img0], [img1], pts, windowed=False, max_iters=60)
+    cur_w, st_w = lk.track([img0], [img1], pts, windowed=True, max_iters=60)
+    # the full-image path converges to the true +14 px flow
+    assert bool(st_f[0])
+    np.testing.assert_allclose(np.asarray(cur_f - pts)[0, 0], 14.0, atol=0.3)
+    # the windowed path cannot reach it: it must say so, not return the
+    # stale ~13 px wrong-lock with status True
+    assert not bool(st_w[0])
+
+
 def test_fast_detector_finds_blob_centers():
     # note: an ideal checkerboard corner splits the FAST ring 8/8 and is
     # correctly rejected by the 9-contiguous test; bright blobs are the
