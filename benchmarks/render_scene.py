@@ -6,7 +6,13 @@ TPU runtime the first readback in a process permanently degrades every
 subsequent dispatch ~30x (docs/PERFORMANCE.md "readback cliff"). Rendering in
 a throwaway process keeps the benchmarking process's runtime pristine.
 
-Usage: python benchmarks/render_scene.py OUT.npz T [H W]
+Usage: python benchmarks/render_scene.py OUT.npz T [H W] [scene]
+
+`scene`: "forward" (default) — straight forward motion over a textured
+ground plane; "circuit" — a closed circular trajectory inside a textured
+cylindrical arena that revisits its starting views, exercising loop
+closure + pose-graph optimization in the scored pipeline (VERDICT r2
+next-round #5).
 """
 
 import os
@@ -31,14 +37,28 @@ def main():
     T = int(sys.argv[2])
     H = int(sys.argv[3]) if len(sys.argv) > 3 else 188
     W = int(sys.argv[4]) if len(sys.argv) > 4 else 620
+    scene = sys.argv[5] if len(sys.argv) > 5 else "forward"
     rig = synthetic.make_stereo_rig()
-    poses = synthetic.forward_motion_poses(T, step=0.5, yaw_rate=0.0)
-    lefts, rights = synthetic.render_textured_stereo_sequence(
-        poses, H=H, W=W, rig=rig)
+    if scene == "circuit":
+        # closed loop: ~3 deg/frame yaw closes the circle in T frames (same
+        # operating point as tests/test_fused_loop.py's arena circuit)
+        step = 0.35
+        poses = synthetic.forward_motion_poses(T, step=step,
+                                               yaw_rate=2 * np.pi / (T - 8))
+        lefts, rights = synthetic.render_arena_stereo_sequence(
+            poses, H=H, W=W, rig=rig, center=(0.0, 6.0), radius=25.0)
+        dist = step * T
+    else:
+        step = 0.5
+        poses = synthetic.forward_motion_poses(T, step=step, yaw_rate=0.0)
+        lefts, rights = synthetic.render_textured_stereo_sequence(
+            poses, H=H, W=W, rig=rig)
+        dist = step * T
     np.savez(out,
              lefts=np.asarray(lefts, np.float32),
              rights=np.asarray(rights, np.float32),
-             poses=np.asarray(poses, np.float32))
+             poses=np.asarray(poses, np.float32),
+             dist=np.asarray(dist, np.float32))
 
 
 if __name__ == "__main__":

@@ -115,6 +115,18 @@ def build_pyramid(img: jax.Array, num_levels: int) -> list[jax.Array]:
     return levels
 
 
+def build_pyramid_batched(imgs: jax.Array, num_levels: int) -> list[jax.Array]:
+    """Pyramids for a (B, H, W) stack in one pass per level: the B images'
+    blur/decimate run as one batched elementwise program instead of B
+    sequential ones (halves the fused step's pyramid latency for the
+    left+right pair). Level k has shape (B, H/2^k, W/2^k)."""
+    levels = [imgs]
+    down = jax.vmap(pyr_down)
+    for _ in range(num_levels - 1):
+        levels.append(down(levels[-1]))
+    return levels
+
+
 def resize_half(img: jax.Array) -> jax.Array:
     """Area-style 2x downscale (the reference halves KITTI images with
     cv::resize INTER_AREA-ish default, dataset.cpp:126-129): mean over 2x2."""

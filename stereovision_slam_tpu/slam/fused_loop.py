@@ -240,6 +240,24 @@ fused_lc_step = partial(jax.jit, static_argnames=_LC_STATICS,
                         donate_argnums=(0, 1, 2, 3, 4))(_fused_lc_impl)
 
 
+def _fused_lc_buf_impl(fs, ms, arc, kf_count, ls, out_buf, left_img,
+                       right_img, frame_id, out_idx, cam_left, cam_right,
+                       mnv2_params, **statics):
+    """`_fused_lc_impl` + in-place write of the frame outputs into the
+    preallocated (T, ...) device buffer at `out_idx` (fused.empty_outputs) —
+    same drain economics as the base fused step."""
+    fs, ms, arc, kf_count, ls, out = _fused_lc_impl(
+        fs, ms, arc, kf_count, ls, left_img, right_img, frame_id,
+        cam_left, cam_right, mnv2_params, **statics)
+    out_buf = jax.tree.map(lambda b, v: b.at[out_idx].set(v), out_buf, out)
+    return fs, ms, arc, kf_count, ls, out_buf
+
+
+fused_lc_step_buf = partial(jax.jit, static_argnames=_LC_STATICS,
+                            donate_argnums=(0, 1, 2, 3, 4, 5))(
+                                _fused_lc_buf_impl)
+
+
 class LoopEdgeRecord(NamedTuple):
     kf_id: int
     loop_kf_id: int
@@ -275,14 +293,19 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         self._fill_queue()
         if not self._queue:
             return False
+        if len(self._fids) >= self.Fmax:
+            raise RuntimeError(
+                f"output buffer full ({self.Fmax} frames); construct with a "
+                "larger max_frames= for longer sequences")
         frame_id, left, right = self._queue.pop(0)
         if self.fs is None:
             self.fs = self._placeholder_state(left)
         cfg = self.cfg
         (self.fs, self.ms, self.arc, self.kf_count, self.ls,
-         out) = fused_lc_step(
-            self.fs, self.ms, self.arc, self.kf_count, self.ls, left, right,
-            jnp.asarray(frame_id, jnp.int32),
+         self.out_buf) = fused_lc_step_buf(
+            self.fs, self.ms, self.arc, self.kf_count, self.ls, self.out_buf,
+            left, right, jnp.asarray(frame_id, jnp.int32),
+            jnp.asarray(len(self._fids), jnp.int32),
             self.cam_left, self.cam_right, self.mnv2_params,
             num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
             min_distance=cfg.gftt_min_distance,
@@ -305,7 +328,7 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
             max_pose_diff=cfg.max_pose_differnece_between_old_new,
             max_loop_dist=cfg.max_pose_distance_between_loop_keyframes,
             num_hypotheses=256)
-        self.outputs.append((frame_id, out))
+        self._fids.append(frame_id)
         return True
 
     # ------------------------------------------------------------------ #
