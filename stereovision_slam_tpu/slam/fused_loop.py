@@ -258,6 +258,57 @@ fused_lc_step_buf = partial(jax.jit, static_argnames=_LC_STATICS,
                                 _fused_lc_buf_impl)
 
 
+def build_lc_scan_chunk(unroll: int | bool = False, **static):
+    """Loop-closure variant of fused.build_scan_chunk: one device program
+    advances a CHUNK of frames through the FULL pipeline including the
+    keyframe-rate loop-closure hook (LoopState joins the scan carry).
+
+    Returns a jitted fn
+        (fs, ms, arc, kf_count, ls, out_buf, cam_left, cam_right,
+         mnv2_params, lefts, rights, frame_ids, valid, out_idx) ->
+        (fs, ms, arc, kf_count, ls, out_buf)
+    with the same padding semantics as build_scan_chunk."""
+
+    def make_body(cam_left, cam_right, mnv2_params):
+        def body(carry, x):
+            fs, ms, arc, kf_count, ls = carry
+            left, right, fid, ok = x
+
+            def run(ops):
+                fs, ms, arc, kfc, ls = ops
+                return _fused_lc_impl(fs, ms, arc, kfc, ls, left, right, fid,
+                                      cam_left, cam_right, mnv2_params,
+                                      **static)
+
+            def skip(ops):
+                fs, ms, arc, kfc, ls = ops
+                out = fused.FrameOutputs(
+                    n_inliers=jnp.asarray(-1, jnp.int32),
+                    n_tracked=jnp.asarray(-1, jnp.int32),
+                    kf_inserted=jnp.asarray(False),
+                    kf_count=kfc, pose=fs.T_cur)
+                return fs, ms, arc, kfc, ls, out
+
+            fs, ms, arc, kf_count, ls, out = lax.cond(
+                ok, run, skip, (fs, ms, arc, kf_count, ls))
+            return (fs, ms, arc, kf_count, ls), out
+        return body
+
+    def chunk_fn(fs, ms, arc, kf_count, ls, out_buf, cam_left, cam_right,
+                 mnv2_params, lefts, rights, frame_ids, valid, out_idx):
+        (fs, ms, arc, kf_count, ls), outs = lax.scan(
+            make_body(cam_left, cam_right, mnv2_params),
+            (fs, ms, arc, kf_count, ls),
+            (lefts, rights, frame_ids, valid),
+            unroll=int(unroll) or 1)
+        out_buf = jax.tree.map(
+            lambda b, o: lax.dynamic_update_slice_in_dim(
+                b, o.astype(b.dtype), out_idx, axis=0), out_buf, outs)
+        return fs, ms, arc, kf_count, ls, out_buf
+
+    return jax.jit(chunk_fn, donate_argnums=(0, 1, 2, 3, 4, 5))
+
+
 class LoopEdgeRecord(NamedTuple):
     kf_id: int
     loop_kf_id: int
@@ -419,3 +470,69 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
                 jnp.ones((T,), bool)))
             self._pgo_landmarks = {i: p for i, p in zip(lm_ids, new_lm)}
         return {fid: pose for fid, pose in out_kfs.values()}
+
+
+class ScanLoopVisualOdometry(FusedLoopVisualOdometry):
+    """Chunked dispatch for the loop-closure pipeline: frames are consumed in
+    fixed-size chunks, each chunk ONE device program including the keyframe
+    loop-closure hook (build_lc_scan_chunk) — the dispatch-amortized
+    configuration covering the reference's full capability set (tracking +
+    BA + loop closure; PGO stays a one-shot host step at shutdown, as in
+    loopclosure.cpp:641-799)."""
+
+    def __init__(self, cfg: SlamConfig, dataset, chunk_size: int = 8,
+                 unroll: int | bool = False, **kw):
+        super().__init__(cfg, dataset, **kw)
+        self.chunk_size = chunk_size
+        self.unroll = unroll
+        self._scan_fn = None
+
+    def _ensure_scan_fn(self):
+        if self._scan_fn is None:
+            cfg = self.cfg
+            self._scan_fn = build_lc_scan_chunk(
+                unroll=self.unroll,
+                num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
+                min_distance=cfg.gftt_min_distance,
+                quality_level=cfg.gftt_quality_level,
+                max_depth=cfg.max_triangulation_depth,
+                num_active=cfg.num_active_keyframes,
+                kf_threshold=cfg.num_features_needed_for_keyframe,
+                bad_threshold=cfg.num_features_tracking_bad,
+                chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
+                ba_iters=cfg.ba_lm_iters,
+                detector=cfg.keypoint_feature_detector.lower(),
+                num_features_init=cfg.num_features_init,
+                ba_max_active=cfg.ba_max_active_landmarks or None,
+                skip=cfg.keyframes_to_skip_in_candidate_search,
+                cooldown=cfg.keyframes_to_ignore_after_loop,
+                strong=cfg.potential_loop_strong_threshold,
+                weak=cfg.potential_loop_weak_threshold,
+                max_weak=cfg.max_num_weak_threshold,
+                min_match=cfg.min_num_acceptable_keypoint_match,
+                min_pose_diff=cfg.min_pose_differnece_between_old_new,
+                max_pose_diff=cfg.max_pose_differnece_between_old_new,
+                max_loop_dist=cfg.max_pose_distance_between_loop_keyframes,
+                num_hypotheses=256)
+        return self._scan_fn
+
+    # chunk assembly is identical to the plain scan mode
+    _next_chunk = fused.ScanVisualOdometry._next_chunk
+    step = fused.ScanVisualOdometry.step
+
+    def step_chunk(self, lefts, rights, fids, valid, host_fids=None,
+                   n=None) -> None:
+        if self.fs is None:
+            self.fs = self._placeholder_state(
+                jnp.zeros(lefts.shape[1:], jnp.float32))
+        scan_fn = self._ensure_scan_fn()
+        if host_fids is None:
+            host_fids = np.asarray(fids)
+            n = len(host_fids) if n is None else n
+        (self.fs, self.ms, self.arc, self.kf_count, self.ls,
+         self.out_buf) = scan_fn(
+            self.fs, self.ms, self.arc, self.kf_count, self.ls, self.out_buf,
+            self.cam_left, self.cam_right, self.mnv2_params,
+            lefts, rights, fids, valid,
+            jnp.asarray(len(self._fids), jnp.int32))
+        self._fids.extend(int(f) for f in host_fids[:n])

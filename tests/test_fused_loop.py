@@ -83,3 +83,40 @@ def test_fused_loop_no_false_positive_on_straight_line():
     keyframes, landmarks, frames = vo.drain()
     n_in = [int(f.n_inliers) for _, f in frames]
     assert min(n_in[1:]) > 10
+
+
+def test_scan_loop_matches_fused_loop():
+    """ScanLoopVisualOdometry (chunked dispatch incl. the loop hook) must
+    reproduce the per-frame fused-loop pipeline exactly — same traced
+    computation, different dispatch topology."""
+    from stereovision_slam_tpu.slam.fused_loop import ScanLoopVisualOdometry
+
+    rig = synthetic.make_stereo_rig()
+    T = 20
+    poses = synthetic.forward_motion_poses(T, step=0.5, yaw_rate=0.0)
+    lefts, rights = synthetic.render_textured_stereo_sequence(
+        poses, H=188, W=620, rig=rig)
+    lefts, rights = np.asarray(lefts), np.asarray(rights)
+    cfg = _cfg()
+
+    vo_f = FusedLoopVisualOdometry(
+        cfg, ArraySequenceDataset(lefts, rights, list(rig)),
+        max_total_keyframes=64, max_total_landmarks=1 << 13)
+    vo_f.initialize()
+    vo_f.run()
+    kf_f, lm_f, frames_f = vo_f.drain()
+
+    vo_s = ScanLoopVisualOdometry(
+        cfg, ArraySequenceDataset(lefts, rights, list(rig)),
+        chunk_size=8, max_total_keyframes=64, max_total_landmarks=1 << 13)
+    vo_s.initialize()
+    vo_s.run()
+    kf_s, lm_s, frames_s = vo_s.drain()
+
+    assert len(frames_s) == len(frames_f) == T
+    assert [int(f.n_inliers) for _, f in frames_s] == \
+           [int(f.n_inliers) for _, f in frames_f]
+    assert set(kf_s) == set(kf_f)
+    for k in kf_f:
+        np.testing.assert_allclose(kf_s[k][1], kf_f[k][1], atol=1e-5)
+    assert vo_s.loop_edges() == vo_f.loop_edges() == []
