@@ -65,7 +65,7 @@ def main():
     # persistent compilation cache: axon remote compiles take minutes for the
     # big SLAM programs; cache them across processes/rounds
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     if os.environ.get("BENCH_PLATFORM"):  # debug override (the axon plugin
         # ignores the JAX_PLATFORMS env var; this config update works)
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])

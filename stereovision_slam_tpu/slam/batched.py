@@ -35,8 +35,10 @@ from stereovision_slam_tpu.ops import image as imops
 from stereovision_slam_tpu.slam import frontend as fe
 from stereovision_slam_tpu.slam import map_state as mapmod
 from stereovision_slam_tpu.slam.config import SlamConfig
+from stereovision_slam_tpu.slam.backend import optimize_window
 from stereovision_slam_tpu.slam.fused import (
-    ArchiveState, FrameOutputs, _fused_step_impl, empty_archive)
+    ArchiveState, FrameOutputs, _archive_eviction, _fused_step_impl,
+    empty_archive)
 
 _STATICS = ("num_levels", "num_features", "min_distance", "quality_level",
             "max_depth", "num_active", "kf_threshold", "bad_threshold",
@@ -55,6 +57,124 @@ def batched_fused_step(fs, ms, arc, kf_count, left_img, right_img,
         cam_left, cam_right)
 
 
+_STAGGER_STATICS = (
+    "num_levels", "num_features", "min_distance", "quality_level",
+    "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
+    "backend_on", "ba_iters", "detector", "ba_max_active", "m")
+
+
+@partial(jax.jit, static_argnames=_STAGGER_STATICS,
+         donate_argnums=(0, 1, 2, 3))
+def batched_staggered_step(fs, ms, arc, kf_count, left_img, right_img,
+                           frame_id, phase, cam_left, cam_right, *,
+                           num_levels=4, num_features=150, min_distance=20,
+                           quality_level=0.01, max_depth=300.0, num_active=10,
+                           kf_threshold=80, bad_threshold=20, chi2_th=5.991,
+                           backend_on=True, ba_iters=10, detector="gftt",
+                           ba_max_active=1024, m=1):
+    """Advance B streams one frame with a STAGGERED keyframe branch.
+
+    Under vmap every per-lane `lax.cond` lowers to both-branches + select,
+    so the naive batched step (batched_fused_step) pays detection +
+    triangulation + BA for ALL B lanes EVERY frame — measured flat aggregate
+    throughput in B (docs/PERFORMANCE.md round 2, VERDICT r2 weak #5). This
+    variant restores the single-stream cost model: tracking runs vmapped
+    over all B lanes (same op count as one lane — the latency-bound ops just
+    carry fatter batch dimensions), while the keyframe branch runs on a
+    ROTATING sub-batch of `m = B/k` lanes selected by the runtime `phase`
+    scalar (a dynamic slice on the lane axis, so ONE compiled program serves
+    every phase). A lane's keyframe decision is therefore evaluated every
+    k-th frame — a bounded cadence policy for the serving configuration
+    (tracking quality decays over several frames, not one; the decision
+    itself still uses the current frame's inlier count).
+
+    Returns (fs, ms, arc, kf_count, FrameOutputs) with leading (B, ...).
+    """
+    B = left_img.shape[0]
+
+    # ---- 1. tracking for all lanes (one vmapped program) ----
+    def track_one(fs, ms, left, right):
+        both = imops.build_pyramid_batched(jnp.stack([left, right]),
+                                           num_levels)
+        pyr = tuple(lv[0] for lv in both)
+        right_pyr = tuple(lv[1] for lv in both)
+        fs2, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
+                                             right_pyr, cam_right,
+                                             chi2_th=chi2_th)
+        return fs2, n_in, n_tracked, right_pyr
+
+    fs, n_in, n_tracked, right_pyrs = jax.vmap(track_one, in_axes=(0, 0, 0, 0))(
+        fs, ms, left_img, right_img)
+    lost = n_in <= bad_threshold
+    want_kf = (n_in < kf_threshold) & ~lost
+
+    # ---- 2. keyframe branch on the phase's m-lane sub-batch ----
+    start = (phase * m) % jnp.maximum(B, 1)
+
+    def gather(tree):
+        return jax.tree.map(
+            lambda x: jax.lax.dynamic_slice_in_dim(x, start, m, axis=0), tree)
+
+    sub_fs = gather(fs)
+    sub_ms = gather(ms)
+    sub_arc = gather(arc)
+    sub_kfc = jax.lax.dynamic_slice_in_dim(kf_count, start, m, axis=0)
+    sub_want = jax.lax.dynamic_slice_in_dim(want_kf, start, m, axis=0)
+    sub_fid = jax.lax.dynamic_slice_in_dim(frame_id, start, m, axis=0)
+    sub_rpyr = gather(right_pyrs)
+
+    def kf_one(fs, ms, arc, kfc, want, fid, right_pyr):
+        def do_kf(ops):
+            fs, ms, arc, kfc = ops
+            kf_id = kfc + 1
+            fs2, ms2, ev, n_new, n_r = fe.keyframe_step(
+                fs, ms, right_pyr, cam_left, cam_right, fid, kf_id,
+                num_features=num_features, min_distance=min_distance,
+                quality_level=quality_level, max_depth=max_depth,
+                num_active=num_active, detect_all=False, detector=detector)
+            if backend_on:
+                ms2, _ = optimize_window(ms2, cam_left, cam_right,
+                                         chi2_th=chi2_th, iters=ba_iters,
+                                         max_active_landmarks=ba_max_active)
+                newest = jnp.argmax(jnp.where(ms2.kf_valid, ms2.kf_id, -1))
+                fs2 = fs2._replace(T_cur=ms2.kf_pose[newest])
+            arc2 = _archive_eviction(arc, ev)
+            Tmax = arc2.kf_pose.shape[0]
+            slot = jnp.clip(kf_id, 0, Tmax - 1)
+            arc2 = arc2._replace(
+                kf_pose=arc2.kf_pose.at[slot].set(fs2.T_cur),
+                kf_frame_id=arc2.kf_frame_id.at[slot].set(
+                    fid.astype(jnp.int32)),
+                kf_set=arc2.kf_set.at[slot].set(True),
+            )
+            return fs2, ms2, arc2, kf_id
+
+        return jax.lax.cond(want, do_kf, lambda o: o, (fs, ms, arc, kfc))
+
+    sub_fs, sub_ms, sub_arc, sub_kfc = jax.vmap(kf_one)(
+        sub_fs, sub_ms, sub_arc, sub_kfc, sub_want, sub_fid, sub_rpyr)
+
+    def scatter(tree, sub):
+        return jax.tree.map(
+            lambda x, s: jax.lax.dynamic_update_slice_in_dim(x, s, start,
+                                                             axis=0),
+            tree, sub)
+
+    fs = scatter(fs, sub_fs)
+    ms = scatter(ms, sub_ms)
+    arc = scatter(arc, sub_arc)
+    kf_count = jax.lax.dynamic_update_slice_in_dim(kf_count, sub_kfc, start,
+                                                   axis=0)
+
+    lane = jnp.arange(B)
+    scheduled = ((lane - start) % jnp.maximum(B, 1)) < m
+    out = FrameOutputs(
+        n_inliers=n_in, n_tracked=n_tracked,
+        kf_inserted=want_kf & scheduled,
+        kf_count=kf_count, pose=fs.T_cur)
+    return fs, ms, arc, kf_count, out
+
+
 class BatchedFusedVisualOdometry:
     """Host wrapper driving B datasets in lockstep through one device
     program per frame index.
@@ -68,12 +188,27 @@ class BatchedFusedVisualOdometry:
 
     def __init__(self, cfg: SlamConfig, datasets,
                  max_total_keyframes: int = 4096,
-                 max_total_landmarks: int = 1 << 15, mesh=None):
+                 max_total_landmarks: int = 1 << 15, mesh=None,
+                 kf_stagger: int = 0):
         self.cfg = cfg
         self.datasets = list(datasets)
         self.B = len(self.datasets)
         self.Tmax = max_total_keyframes
         self.Lmax = max_total_landmarks
+        # kf_stagger=k>1: evaluate the keyframe branch on a rotating B/k-lane
+        # sub-batch per frame (batched_staggered_step) — the serving-mode
+        # throughput configuration. 0/1 = the exact per-frame-cond semantics
+        # (both branches per lane under vmap; flat throughput in B).
+        self.kf_stagger = int(kf_stagger)
+        if self.kf_stagger > 1:
+            if mesh is not None:
+                raise ValueError("kf_stagger is a single-device lane "
+                                 "schedule; use mesh sharding without it")
+            if self.B % self.kf_stagger != 0:
+                raise ValueError(
+                    f"B={self.B} must be a multiple of kf_stagger="
+                    f"{self.kf_stagger}")
+        self._step_idx = 0
         self.outputs: list[list[tuple[int, FrameOutputs]]] = [
             [] for _ in range(self.B)]
         self._alive = [True] * self.B
@@ -176,29 +311,54 @@ class BatchedFusedVisualOdometry:
             return False
 
         cfg = self.cfg
-        self.fs, self.ms, self.arc, self.kf_count, out = batched_fused_step(
-            self.fs, self.ms, self.arc, self.kf_count,
-            self._place(jnp.asarray(np.stack(lefts))),
-            self._place(jnp.asarray(np.stack(rights))),
-            self._place(jnp.asarray(fids, jnp.int32)),
-            self.cam_left, self.cam_right,
-            num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
-            min_distance=cfg.gftt_min_distance,
-            quality_level=cfg.gftt_quality_level,
-            max_depth=cfg.max_triangulation_depth,
-            num_active=cfg.num_active_keyframes,
-            kf_threshold=cfg.num_features_needed_for_keyframe,
-            bad_threshold=cfg.num_features_tracking_bad,
-            chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
-            ba_iters=cfg.ba_lm_iters,
-            detector=cfg.keypoint_feature_detector.lower(),
-            # under vmap the init cond would run both branches per lane;
-            # streams are initialized host-side in initialize() instead
-            init_branch=False,
-            # under vmap each per-lane cond lowers to both-branches+select:
-            # the recovery re-init would run for every lane every frame
-            lost_recovery=False,
-            ba_max_active=cfg.ba_max_active_landmarks or None)
+        if self.kf_stagger > 1:
+            self.fs, self.ms, self.arc, self.kf_count, out = \
+                batched_staggered_step(
+                    self.fs, self.ms, self.arc, self.kf_count,
+                    jnp.asarray(np.stack(lefts)),
+                    jnp.asarray(np.stack(rights)),
+                    jnp.asarray(fids, jnp.int32),
+                    jnp.asarray(self._step_idx % self.kf_stagger, jnp.int32),
+                    self.cam_left, self.cam_right,
+                    num_levels=cfg.lk_num_levels,
+                    num_features=cfg.num_features,
+                    min_distance=cfg.gftt_min_distance,
+                    quality_level=cfg.gftt_quality_level,
+                    max_depth=cfg.max_triangulation_depth,
+                    num_active=cfg.num_active_keyframes,
+                    kf_threshold=cfg.num_features_needed_for_keyframe,
+                    bad_threshold=cfg.num_features_tracking_bad,
+                    chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
+                    ba_iters=cfg.ba_lm_iters,
+                    detector=cfg.keypoint_feature_detector.lower(),
+                    ba_max_active=cfg.ba_max_active_landmarks or 1024,
+                    m=self.B // self.kf_stagger)
+        else:
+            self.fs, self.ms, self.arc, self.kf_count, out = batched_fused_step(
+                self.fs, self.ms, self.arc, self.kf_count,
+                self._place(jnp.asarray(np.stack(lefts))),
+                self._place(jnp.asarray(np.stack(rights))),
+                self._place(jnp.asarray(fids, jnp.int32)),
+                self.cam_left, self.cam_right,
+                num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
+                min_distance=cfg.gftt_min_distance,
+                quality_level=cfg.gftt_quality_level,
+                max_depth=cfg.max_triangulation_depth,
+                num_active=cfg.num_active_keyframes,
+                kf_threshold=cfg.num_features_needed_for_keyframe,
+                bad_threshold=cfg.num_features_tracking_bad,
+                chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
+                ba_iters=cfg.ba_lm_iters,
+                detector=cfg.keypoint_feature_detector.lower(),
+                # under vmap the init cond would run both branches per lane;
+                # streams are initialized host-side in initialize() instead
+                init_branch=False,
+                # under vmap each per-lane cond lowers to both-branches+
+                # select: the recovery re-init would run for every lane
+                # every frame
+                lost_recovery=False,
+                ba_max_active=cfg.ba_max_active_landmarks or None)
+        self._step_idx += 1
         for b in range(self.B):
             if self._alive[b]:
                 self.outputs[b].append((fids[b], jax.tree.map(

@@ -403,11 +403,14 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         """Drain the device edge log (reads back — call after streaming)."""
         ls = self.ls
         n = int(ls.n_loops)
-        li = np.asarray(ls.loop_i[:n])
-        lj = np.asarray(ls.loop_j[:n])
-        rel = np.asarray(ls.loop_rel[:n])
+        # rounded prefix: the slice programs' shapes recur across runs (an
+        # n-exact slice would compile a fresh program per distinct edge
+        # count on every run — measured ~0.9 s of remote compiles per drain)
+        p = min(ls.loop_i.shape[0], fused._round_up(max(n, 1), 16))
+        li, lj, rel = jax.device_get(
+            (ls.loop_i[:p], ls.loop_j[:p], ls.loop_rel[:p]))
         return [LoopEdgeRecord(int(a), int(b), r)
-                for a, b, r in zip(li, lj, rel)]
+                for a, b, r in zip(li[:n], lj[:n], rel[:n])]
 
     def run_pgo(self, iters: int = 22):
         """Global pose-graph optimization over the full trajectory
@@ -439,24 +442,43 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
                 ei.append(slot_of[e.kf_id])
                 ej.append(slot_of[e.loop_kf_id])
                 meas.append(e.relative_pose)
+        # pad poses/edges to shape buckets: optimize_pose_graph is jitted,
+        # and exact (T, E) shapes differ between runs — unpadded, every run
+        # pays a fresh multi-second remote compile of the PGO program
+        # (measured: the bulk of a 16 s run_pgo on the tunnel). Invalid
+        # rows are masked (pose_valid / edge_valid), so the result over the
+        # first T poses is unchanged.
+        Tp = fused._round_up(T, 64)
+        E = len(ei)
+        Ep = fused._round_up(E, 64)
+        poses_p = np.zeros((Tp, 3, 4), np.float32)
+        poses_p[:T] = poses
+        poses_p[T:, :, :3] = np.eye(3, dtype=np.float32)
+        meas_p = np.zeros((Ep, 3, 4), np.float32)
+        meas_p[:E] = np.stack(meas)
+        meas_p[E:, :, :3] = np.eye(3, dtype=np.float32)
         g = PoseGraph(
-            poses=jnp.asarray(poses), pose_valid=jnp.ones((T,), bool),
-            edge_i=jnp.asarray(ei, jnp.int32),
-            edge_j=jnp.asarray(ej, jnp.int32),
-            edge_meas=jnp.asarray(np.stack(meas), jnp.float32),
-            edge_valid=jnp.ones((len(ei),), bool))
-        new_poses = np.asarray(optimize_pose_graph(g, iters=iters))
+            poses=jnp.asarray(poses_p),
+            pose_valid=jnp.asarray(np.arange(Tp) < T),
+            edge_i=jnp.asarray(np.pad(np.asarray(ei, np.int32), (0, Ep - E))),
+            edge_j=jnp.asarray(np.pad(np.asarray(ej, np.int32), (0, Ep - E))),
+            edge_meas=jnp.asarray(meas_p),
+            edge_valid=jnp.asarray(np.arange(Ep) < E))
+        new_poses = np.asarray(optimize_pose_graph(g, iters=iters))[:T]
 
         # landmark re-anchoring (loopclosure.cpp:762-785) via lm_first_kf
-        arc = jax.tree.map(np.asarray, self.arc)
-        ms = jax.tree.map(np.asarray, self.ms)
+        n_lm_used = int(self.ms.next_lm_id)
+        lp = min(self.Lmax, fused._round_up(max(n_lm_used, 1), 4096))
+        arc_first, arc_set = jax.device_get(
+            (self.arc.lm_first_kf[:lp], self.arc.lm_set[:lp]))
+        ms = jax.device_get(self.ms)
         out_kfs = {}
         for k, slot in slot_of.items():
             out_kfs[k] = (keyframes[k][0], new_poses[slot])
         self._pgo_keyframes = out_kfs
         first_of = {}
-        for gid in np.nonzero(arc.lm_set)[0]:
-            first_of[int(gid)] = int(arc.lm_first_kf[gid])
+        for gid in np.nonzero(arc_set)[0]:
+            first_of[int(gid)] = int(arc_first[gid])
         for s in np.nonzero(ms.lm_valid)[0]:
             first_of[int(ms.lm_id[s])] = int(ms.lm_first_kf[s])
         if landmarks:
@@ -464,10 +486,20 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
             lm_pos = np.stack([landmarks[i] for i in lm_ids])
             first = np.array([slot_of.get(first_of.get(i, -1), -1)
                               for i in lm_ids], np.int32)
+            # pad to shape buckets (see the PGO padding note above)
+            n = len(lm_ids)
+            npad = fused._round_up(n, 4096)
+            lm_pos_p = np.zeros((npad, 3), np.float32)
+            lm_pos_p[:n] = lm_pos
+            first_p = np.full((npad,), -1, np.int32)
+            first_p[:n] = first
+            new_poses_p = np.zeros((Tp, 3, 4), np.float32)
+            new_poses_p[:T] = new_poses
+            new_poses_p[T:, :, :3] = np.eye(3, dtype=np.float32)
             new_lm = np.asarray(reanchor_landmarks(
-                jnp.asarray(lm_pos), jnp.asarray(first),
-                jnp.asarray(poses), jnp.asarray(new_poses),
-                jnp.ones((T,), bool)))
+                jnp.asarray(lm_pos_p), jnp.asarray(first_p),
+                jnp.asarray(poses_p), jnp.asarray(new_poses_p),
+                jnp.asarray(np.arange(Tp) < T)))[:n]
             self._pgo_landmarks = {i: p for i, p in zip(lm_ids, new_lm)}
         return {fid: pose for fid, pose in out_kfs.values()}
 

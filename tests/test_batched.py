@@ -138,3 +138,33 @@ def test_batched_mesh_requires_divisible_batch():
         BatchedFusedVisualOdometry(
             small_config(),
             [ArraySequenceDataset(*data) for data, _ in streams], mesh=mesh)
+
+
+def test_batched_staggered_tracks_accurately():
+    """kf_stagger mode (rotating keyframe sub-batch, the serving-throughput
+    configuration) must keep every lane tracking with bounded drift — the
+    keyframe cadence policy changes, not the math."""
+    B, k, T = 4, 4, 16
+    streams = [make_stream(s, T=T) for s in range(B)]
+    cfg = small_config()
+    bvo = BatchedFusedVisualOdometry(
+        cfg, [ArraySequenceDataset(*data) for data, _ in streams],
+        max_total_keyframes=64, max_total_landmarks=2048, kf_stagger=k)
+    bvo.initialize()
+    bvo.run()
+    trajs = bvo.trajectories()
+    for b, ((_, poses), traj) in enumerate(zip(streams, trajs)):
+        assert len(traj) >= 2, f"lane {b}: no keyframes inserted"
+        errs = []
+        for fid, pose in traj.items():
+            c_est = -pose[:, :3].T @ pose[:, 3]
+            gt = np.asarray(poses[fid])
+            c_gt = -gt[:, :3].T @ gt[:, 3]
+            errs.append(np.linalg.norm(c_est - c_gt))
+        ate = float(np.sqrt(np.mean(np.square(errs))))
+        dist = float(0.35 + 0.05 * b) * T
+        assert ate < 0.05 * dist, f"lane {b}: ATE {ate:.3f} over {dist:.1f} m"
+    # inlier stream healthy in every lane
+    for b in range(B):
+        n_in = [int(o.n_inliers) for _, o in bvo.outputs[b]]
+        assert min(n_in) > 10, f"lane {b}: {n_in}"
