@@ -77,10 +77,31 @@ def _no_reduce(x):
     return x
 
 
-def _hvp(g: PoseGraph, Ji, Jj, lam, diag_blocks, free, x, reduce_fn=_no_reduce):
+def _edge_onehots(g: PoseGraph, T: int, dtype):
+    """(E, T) one-hot incidence matrices for the two edge endpoints, masked
+    by edge validity. Built ONCE per solve: every CG iteration's
+    vertex->edge gather and edge->vertex scatter-add then ride MXU matmuls
+    instead of `gather`/`scatter` ops — on the TPU runtime a scatter at
+    SLAM sizes costs ~1-4 ms while the equivalent (T, E) x (E, 6) matmul is
+    microseconds, and CG runs iters x cg_iters of them (measured: the whole
+    of a 4+ s run_pgo)."""
+    ids = jnp.arange(T)
+    w = g.edge_valid.astype(dtype)
+    oi = (g.edge_i[:, None] == ids[None, :]).astype(dtype) * w[:, None]
+    oj = (g.edge_j[:, None] == ids[None, :]).astype(dtype) * w[:, None]
+    return oi, oj
+
+
+def _hvp(g: PoseGraph, Ji, Jj, lam, diag_blocks, free, x, reduce_fn=_no_reduce,
+         onehots=None):
     """(H + lam*diag) @ x, edge-wise and matrix-free. x: (T, 6)."""
-    xi = x[g.edge_i]
-    xj = x[g.edge_j]
+    if onehots is not None:
+        oi, oj = onehots
+        xi = jnp.einsum("et,tb->eb", oi, x, precision=_PREC)
+        xj = jnp.einsum("et,tb->eb", oj, x, precision=_PREC)
+    else:
+        xi = x[g.edge_i]
+        xj = x[g.edge_j]
     # per-edge residual-space product: Ji xi + Jj xj
     y = jnp.einsum("eab,eb->ea", Ji, xi, precision=_PREC) \
         + jnp.einsum("eab,eb->ea", Jj, xj, precision=_PREC)
@@ -88,8 +109,12 @@ def _hvp(g: PoseGraph, Ji, Jj, lam, diag_blocks, free, x, reduce_fn=_no_reduce):
     ci = jnp.einsum("eab,ea->eb", Ji, y, precision=_PREC)
     cj = jnp.einsum("eab,ea->eb", Jj, y, precision=_PREC)
     T = x.shape[0]
-    out = reduce_fn(
-        jnp.zeros_like(x).at[g.edge_i].add(ci).at[g.edge_j].add(cj))
+    if onehots is not None:
+        out = reduce_fn(jnp.einsum("et,eb->tb", oi, ci, precision=_PREC)
+                        + jnp.einsum("et,eb->tb", oj, cj, precision=_PREC))
+    else:
+        out = reduce_fn(
+            jnp.zeros_like(x).at[g.edge_i].add(ci).at[g.edge_j].add(cj))
     damp = lam * jnp.einsum("tab,tb->ta",
                             diag_blocks * jnp.eye(6, dtype=x.dtype), x,
                             precision=_PREC)
@@ -97,15 +122,21 @@ def _hvp(g: PoseGraph, Ji, Jj, lam, diag_blocks, free, x, reduce_fn=_no_reduce):
     return jnp.where(free[:, None], out, x)  # fixed/invalid rows: identity
 
 
-def _diag_blocks(g: PoseGraph, Ji, Jj, T, reduce_fn=_no_reduce):
+def _diag_blocks(g: PoseGraph, Ji, Jj, T, reduce_fn=_no_reduce, onehots=None):
     Hi = jnp.einsum("eab,eac->ebc", Ji, Ji, precision=_PREC)
     Hj = jnp.einsum("eab,eac->ebc", Jj, Jj, precision=_PREC)
-    D = jnp.zeros((T, 6, 6), Ji.dtype).at[g.edge_i].add(Hi).at[g.edge_j].add(Hj)
+    if onehots is not None:
+        oi, oj = onehots
+        D = (jnp.einsum("et,ebc->tbc", oi, Hi, precision=_PREC)
+             + jnp.einsum("et,ebc->tbc", oj, Hj, precision=_PREC))
+    else:
+        D = jnp.zeros((T, 6, 6), Ji.dtype).at[g.edge_i].add(Hi) \
+                                          .at[g.edge_j].add(Hj)
     return reduce_fn(D)
 
 
 def _pcg(g, Ji, Jj, b, lam, diag_blocks, free, iters=100, tol=1e-8,
-         reduce_fn=_no_reduce):
+         reduce_fn=_no_reduce, onehots=None):
     """Block-Jacobi preconditioned CG for (H + lam diag) dx = b."""
     T = b.shape[0]
     eye = jnp.eye(6, dtype=b.dtype)
@@ -126,7 +157,7 @@ def _pcg(g, Ji, Jj, b, lam, diag_blocks, free, iters=100, tol=1e-8,
 
     def body(_, carry):
         x, r, p, rz = carry
-        Ap = _hvp(g, Ji, Jj, lam, diag_blocks, free, p, reduce_fn)
+        Ap = _hvp(g, Ji, Jj, lam, diag_blocks, free, p, reduce_fn, onehots)
         pAp = jnp.sum(p * Ap)
         alpha = rz / jnp.where(jnp.abs(pAp) < 1e-20, 1e-20, pAp)
         converged = rz < tol
@@ -155,6 +186,8 @@ def _optimize(g: PoseGraph, iters: int, cg_iters: int,
     # pose_valid is replicated either way, so argmax agrees across devices
     first = jnp.argmax(g.pose_valid)  # first valid slot
     free = g.pose_valid & (jnp.arange(T) != first)
+    onehots = _edge_onehots(g, T, g.poses.dtype)
+    oi, oj = onehots
 
     def total_chi2(poses):
         gg = g._replace(poses=poses)
@@ -166,12 +199,15 @@ def _optimize(g: PoseGraph, iters: int, cg_iters: int,
         gg = g._replace(poses=poses)
         r, Ji, Jj = _linearize(gg)
         b = -reduce_fn(
-            jnp.zeros((T, 6), r.dtype)
-            .at[g.edge_i].add(jnp.einsum("eab,ea->eb", Ji, r, precision=_PREC))
-            .at[g.edge_j].add(jnp.einsum("eab,ea->eb", Jj, r, precision=_PREC)))
-        D = _diag_blocks(gg, Ji, Jj, T, reduce_fn)
+            jnp.einsum("et,eb->tb", oi,
+                       jnp.einsum("eab,ea->eb", Ji, r, precision=_PREC),
+                       precision=_PREC)
+            + jnp.einsum("et,eb->tb", oj,
+                         jnp.einsum("eab,ea->eb", Jj, r, precision=_PREC),
+                         precision=_PREC))
+        D = _diag_blocks(gg, Ji, Jj, T, reduce_fn, onehots)
         dx = _pcg(gg, Ji, Jj, b, lam, D, free, iters=cg_iters,
-                  reduce_fn=reduce_fn)
+                  reduce_fn=reduce_fn, onehots=onehots)
         poses_new = se3.se3_compose(se3.se3_exp(dx), poses)
         better = total_chi2(poses_new) < total_chi2(poses)
         poses_out = jnp.where(better, poses_new, poses)

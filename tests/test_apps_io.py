@@ -17,6 +17,9 @@ from tests import synthetic
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+pytestmark = pytest.mark.slow  # >30 s e2e; -m "not slow" for the quick suite
+
+
 @pytest.fixture(scope="module")
 def kitti_dir(tmp_path_factory):
     """Fabricate a mini KITTI sequence from the synthetic renderer."""

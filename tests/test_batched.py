@@ -1,5 +1,6 @@
 """Batched multi-sequence SLAM vs per-stream single fused runs."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,6 +13,9 @@ from stereovision_slam_tpu.slam.fused import FusedVisualOdometry
 from tests import synthetic
 
 H, W = 96, 320
+
+
+pytestmark = pytest.mark.slow  # >30 s e2e; -m "not slow" for the quick suite
 
 
 def make_stream(seed, T=10):

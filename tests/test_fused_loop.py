@@ -9,6 +9,8 @@ same outcomes: the loop fires on the revisit, the device edge log records
 it, and the host-side shutdown PGO flattens the drift.
 """
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -18,6 +20,9 @@ from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
 from stereovision_slam_tpu.slam.config import SlamConfig
 from stereovision_slam_tpu.slam.fused_loop import FusedLoopVisualOdometry
 from tests import synthetic
+
+
+pytestmark = pytest.mark.slow  # >30 s e2e; -m "not slow" for the quick suite
 
 
 def _arena(T=112, extra=10):

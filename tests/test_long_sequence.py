@@ -1,5 +1,7 @@
 """Long-sequence stress: evictions + archives at scale, bounded drift."""
 
+import pytest
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -9,6 +11,9 @@ from stereovision_slam_tpu.slam.config import SlamConfig
 from stereovision_slam_tpu.slam.fused import FusedVisualOdometry
 from stereovision_slam_tpu.utils.evaluation import ate_rmse
 from tests import synthetic
+
+
+pytestmark = pytest.mark.slow  # >30 s e2e; -m "not slow" for the quick suite
 
 
 def test_long_corridor_bounded_drift():

@@ -22,6 +22,9 @@ from stereovision_slam_tpu.slam.pipeline import VisualOdometry
 from tests import synthetic
 
 
+pytestmark = pytest.mark.slow  # >30 s e2e; -m "not slow" for the quick suite
+
+
 @pytest.mark.parametrize("pgo", ["single", "sharded"])
 def test_loop_closes_on_arena_circuit(pgo):
     T = 56
