@@ -804,14 +804,15 @@ class UnrolledVisualOdometry(ScanVisualOdometry):
     """Chunked mode with the chunk body UNROLLED into the executable
     (build_scan_chunk(unroll=True)) instead of wrapped in `lax.scan`.
 
-    The fastest dispatch-amortized configuration measured on the axon
-    runtime: one dispatch advances `chunk_size` frames with no scan loop
-    plumbing, so per-frame device time matches the per-frame fused step
-    while per-frame HOST time drops ~chunk_size-fold — the hedge against
-    slow or oversubscribed hosts where the per-frame fused mode becomes
-    dispatch-bound (docs/PERFORMANCE.md "chunked dispatch"). Cost: the
-    executable and its compile time grow ~chunk_size x (one-time, cached
-    persistently in .jax_cache)."""
+    Kept as the hedge for environments where per-dispatch HOST cost
+    dominates (per-frame host time drops ~chunk_size-fold and there is no
+    scan loop plumbing). NOT recommended on the current axon runtime: the
+    honest round-2/3 measurements found the big unrolled executable
+    degrades badly under dispatch floods (~30 s/chunk) and the scan chunk
+    measures at or slightly below the per-frame fused mode, because
+    dispatch is microseconds here and per-frame DEVICE time is the
+    bottleneck (docs/PERFORMANCE.md "Dispatch topologies"). Cost: the
+    executable and its compile time grow ~chunk_size x."""
 
     def __init__(self, cfg: SlamConfig, dataset, chunk_size: int = 8, **kw):
         kw.pop("unroll", None)
