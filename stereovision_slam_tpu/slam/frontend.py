@@ -92,13 +92,14 @@ def _stack_levels(*pyramids):
 
 
 @partial(jax.jit, static_argnames=("chi2_th", "rounds", "iters",
-                                   "anchored", "multi_start", "fused_tracks"))
+                                   "anchored", "multi_start", "fused_tracks",
+                                   "lk_iters"))
 def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
                cam_left: Camera, cur_right_pyr: tuple = None,
                cam_right: Camera = None, chi2_th: float = 5.991,
                rounds: int = 4, iters: int = 10,
                anchored: bool = True, multi_start: bool = True,
-               fused_tracks: bool = True):
+               fused_tracks: bool = True, lk_iters: int = 30):
     """Track last-frame features into the current frame and solve the pose.
 
     One fused device program for the reference's Track() path
@@ -153,7 +154,8 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
     if fused_tracks and anchored and stereo:
         # frame-to-frame first (its result seeds everything downstream) ...
         uv_a, st_a = lk.track(list(fs.pyr), list(cur_pyr), fs.feat_uv,
-                              initial_pts=guess, mask=fs.feat_valid)
+                              initial_pts=guess, mask=fs.feat_valid,
+                              max_iters=lk_iters)
         status = st_a
         mask_c = fs.feat_valid & st_a & linked
         guess_r, _, _ = _landmark_guesses(
@@ -165,14 +167,15 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
             _stack_levels(cur_pyr, cur_right_pyr),
             jnp.stack([fs.ref_uv, uv_a]),
             jnp.stack([uv_a, guess_r]),
-            jnp.stack([fs.feat_valid, mask_c]))
+            jnp.stack([fs.feat_valid, mask_c]), max_iters=lk_iters)
         # trust the anchored result whenever its LK converged (see the
         # sequential branch below for rationale)
         cur_uv = jnp.where(st_g[0][:, None], uv_g[0], uv_a)
         uv_r, status_r = uv_g[1], st_g[1]
     else:
         cur_uv, status = lk.track(list(fs.pyr), list(cur_pyr), fs.feat_uv,
-                                  initial_pts=guess, mask=fs.feat_valid)
+                                  initial_pts=guess, mask=fs.feat_valid,
+                                  max_iters=lk_iters)
         if anchored:
             # drift-free refinement: re-localize against the ANCHOR
             # KEYFRAME's templates with the frame-to-frame result as
@@ -181,7 +184,8 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
             # tolerates the drift)
             ref_uv, ref_status = lk.track(list(fs.ref_pyr), list(cur_pyr),
                                           fs.ref_uv, initial_pts=cur_uv,
-                                          mask=fs.feat_valid)
+                                          mask=fs.feat_valid,
+                                          max_iters=lk_iters)
             # trust the anchored result whenever its LK converged (status
             # already encodes bounds + conditioning); an outlier gate here
             # would disable the drift correction exactly when accumulated
@@ -192,7 +196,8 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
                 cam_right, T_guess, m, cur_uv, fs.feat_lm, fs.feat_valid)
             uv_r, status_r = lk.track(
                 list(cur_pyr), list(cur_right_pyr), cur_uv,
-                initial_pts=guess_r, mask=fs.feat_valid & status & linked)
+                initial_pts=guess_r, mask=fs.feat_valid & status & linked,
+                max_iters=lk_iters)
 
     tracked = fs.feat_valid & status
     num_tracked = jnp.sum(tracked).astype(jnp.int32)
@@ -234,13 +239,13 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
 
 @partial(jax.jit, static_argnames=(
     "num_features", "min_distance", "quality_level", "max_depth",
-    "num_active", "detect_all", "detector"), donate_argnums=(1,))
+    "num_active", "detect_all", "detector", "lk_iters"), donate_argnums=(1,))
 def keyframe_step(fs: FrontendState, m: mapmod.MapState, right_pyr: tuple,
                   cam_left: Camera, cam_right: Camera, frame_id, kf_id,
                   num_features: int = 150, min_distance: int = 20,
                   quality_level: float = 0.01, max_depth: float = 300.0,
                   num_active: int = 10, detect_all: bool = False,
-                  detector: str = "gftt"):
+                  detector: str = "gftt", lk_iters: int = 30):
     """Make the current frame a keyframe.
 
     Covers Frontend::InsertKeyframe + StereoInit (frontend.cpp:576-643,
@@ -299,7 +304,8 @@ def keyframe_step(fs: FrontendState, m: mapmod.MapState, right_pyr: tuple,
     guess_r, lm_pos, linked = _landmark_guesses(
         cam_right, fs.T_cur, m, feat_uv, feat_lm, feat_valid)
     uv_r, status_r = lk.track(list(fs.pyr), list(right_pyr), feat_uv,
-                              initial_pts=guess_r, mask=feat_valid)
+                              initial_pts=guess_r, mask=feat_valid,
+                              max_iters=lk_iters)
     has_r = feat_valid & status_r
     num_right = jnp.sum(has_r).astype(jnp.int32)
 

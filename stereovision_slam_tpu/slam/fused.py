@@ -129,6 +129,8 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                      num_features_init: int = 50, init_branch: bool = True,
                      ba_max_active: int | None = 1024,
                      lost_recovery: bool = True,
+                     lk_iters: int = 30, pose_rounds: int = 4,
+                     pose_iters: int = 10,
                      kf_hook=None, hook_state=None):
     """One full SLAM frame as a single traced computation (unjitted — shared
     by the scalar `fused_step` and the vmapped `slam/batched.py` variant).
@@ -158,7 +160,10 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
         fs0, ms, arc, kf_count, hook_state = operands
         fs, n_in, n_tracked = fe.track_step(fs0, ms, pyr, cam_left,
                                             right_pyr, cam_right,
-                                            chi2_th=chi2_th)
+                                            chi2_th=chi2_th,
+                                            rounds=pose_rounds,
+                                            iters=pose_iters,
+                                            lk_iters=lk_iters)
 
         lost = n_in <= bad_threshold
         want_kf = (n_in < kf_threshold) & ~lost
@@ -170,7 +175,8 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                 fs, ms, right_pyr, cam_left, cam_right, frame_id, kf_id,
                 num_features=num_features, min_distance=min_distance,
                 quality_level=quality_level, max_depth=max_depth,
-                num_active=num_active, detect_all=False, detector=detector)
+                num_active=num_active, detect_all=False, detector=detector,
+                lk_iters=lk_iters)
             if backend_on:
                 ms2, _ = optimize_window(ms2, cam_left, cam_right,
                                          chi2_th=chi2_th, iters=ba_iters,
@@ -228,7 +234,8 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                 fs_r, ms, right_pyr, cam_left, cam_right, frame_id, kf_id,
                 num_features=num_features, min_distance=min_distance,
                 quality_level=quality_level, max_depth=max_depth,
-                num_active=num_active, detect_all=True, detector=detector)
+                num_active=num_active, detect_all=True, detector=detector,
+                lk_iters=lk_iters)
             ok = n_new >= num_features_init
             # not enough fresh landmarks (e.g. a blank frame): revert the map
             # wholesale, keep the extrapolated pose, stay lost for this frame
@@ -297,7 +304,8 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
             jnp.zeros_like(kf_count),
             num_features=num_features, min_distance=min_distance,
             quality_level=quality_level, max_depth=max_depth,
-            num_active=num_active, detect_all=True, detector=detector)
+            num_active=num_active, detect_all=True, detector=detector,
+            lk_iters=lk_iters)
         ok = n_new >= num_features_init
         # too few triangulated landmarks: revert the map wholesale and stay
         # uninitialized — the next frame retries (frontend.cpp:216-249)
@@ -326,7 +334,8 @@ _FUSED_STATICS = (
     "num_levels", "num_features", "min_distance", "quality_level",
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
     "backend_on", "ba_iters", "detector", "num_features_init",
-    "init_branch", "ba_max_active", "lost_recovery")
+    "init_branch", "ba_max_active", "lost_recovery", "lk_iters",
+    "pose_rounds", "pose_iters")
 
 fused_step = partial(jax.jit, static_argnames=_FUSED_STATICS,
                      donate_argnums=(0, 1, 2, 3))(_fused_step_impl)
@@ -535,7 +544,9 @@ class FusedVisualOdometry:
             ba_iters=cfg.ba_lm_iters,
             detector=cfg.keypoint_feature_detector.lower(),
             num_features_init=cfg.num_features_init,
-            ba_max_active=cfg.ba_max_active_landmarks or None)
+            ba_max_active=cfg.ba_max_active_landmarks or None,
+            lk_iters=cfg.lk_max_iters, pose_rounds=cfg.pose_rounds,
+            pose_iters=cfg.pose_iters_per_round)
         self._fids.append(frame_id)
         return True
 
@@ -735,7 +746,9 @@ class ScanVisualOdometry(FusedVisualOdometry):
                 ba_iters=cfg.ba_lm_iters,
                 detector=cfg.keypoint_feature_detector.lower(),
                 num_features_init=cfg.num_features_init,
-                ba_max_active=cfg.ba_max_active_landmarks or None)
+                ba_max_active=cfg.ba_max_active_landmarks or None,
+                lk_iters=cfg.lk_max_iters, pose_rounds=cfg.pose_rounds,
+                pose_iters=cfg.pose_iters_per_round)
         return self._scan_fn
 
     def _next_chunk(self):

@@ -233,6 +233,7 @@ _LC_STATICS = (
     "num_levels", "num_features", "min_distance", "quality_level",
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
     "backend_on", "ba_iters", "detector", "num_features_init", "init_branch",
+    "lk_iters", "pose_rounds", "pose_iters",
     "skip", "cooldown", "strong", "weak", "max_weak", "min_match",
     "min_pose_diff", "max_pose_diff", "max_loop_dist", "num_hypotheses")
 
@@ -369,6 +370,8 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
             ba_iters=cfg.ba_lm_iters,
             detector=cfg.keypoint_feature_detector.lower(),
             num_features_init=cfg.num_features_init,
+            lk_iters=cfg.lk_max_iters, pose_rounds=cfg.pose_rounds,
+            pose_iters=cfg.pose_iters_per_round,
             skip=cfg.keyframes_to_skip_in_candidate_search,
             cooldown=cfg.keyframes_to_ignore_after_loop,
             strong=cfg.potential_loop_strong_threshold,
@@ -536,6 +539,8 @@ class ScanLoopVisualOdometry(FusedLoopVisualOdometry):
                 detector=cfg.keypoint_feature_detector.lower(),
                 num_features_init=cfg.num_features_init,
                 ba_max_active=cfg.ba_max_active_landmarks or None,
+                lk_iters=cfg.lk_max_iters, pose_rounds=cfg.pose_rounds,
+                pose_iters=cfg.pose_iters_per_round,
                 skip=cfg.keyframes_to_skip_in_candidate_search,
                 cooldown=cfg.keyframes_to_ignore_after_loop,
                 strong=cfg.potential_loop_strong_threshold,
