@@ -117,12 +117,15 @@ def main():
     # turn and gives the candidate scan enough database entries; skip=12
     # spans a quarter circuit at this cadence (the reference's skip=20 is
     # tuned to its own per-frame-keyframe waitlist, loopclosure.cpp:240-247).
-    # Thresholds 0.90/0.85 are the thumbnail embedder's operating point (no
-    # MobileNet weights ship in this environment; same gate structure).
+    # Thresholds 0.52/0.45 are the shift-tolerant thumbnail embedder's
+    # operating point (no MobileNet weights ship in this environment; same
+    # gate structure — see models/mobilenet_v2.py embed_image_thumbnail:
+    # +-2-frame revisits score ~0.55+ vs ~0.26 unrelated background, and
+    # PnP verification supplies precision as in the reference).
     cfg.num_features_needed_for_keyframe = 160
     cfg.keyframes_to_skip_in_candidate_search = 12
-    cfg.potential_loop_strong_threshold = 0.90
-    cfg.potential_loop_weak_threshold = 0.85
+    cfg.potential_loop_strong_threshold = 0.52
+    cfg.potential_loop_weak_threshold = 0.45
     cfg.max_num_weak_threshold = 100
     cfg.min_num_acceptable_keypoint_match = 10
     # iteration budgets: the LK early-exit already stops when every point
@@ -132,6 +135,7 @@ def main():
     # BETTER post-PGO ATE (0.0592 vs 0.0623). Reference-faithful defaults
     # (30 / 4x10 / 10) remain the SlamConfig defaults.
     cfg.lk_max_iters = 12
+    cfg.pose_rounds = 3          # graduated chi2 schedule 4x,2x,1x
     cfg.pose_iters_per_round = 6
     cfg.ba_lm_iters = 6
 

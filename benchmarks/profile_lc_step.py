@@ -51,6 +51,9 @@ def main():
     cfg.potential_loop_weak_threshold = 0.85
     cfg.max_num_weak_threshold = 100
     cfg.min_num_acceptable_keypoint_match = 10
+    cfg.lk_max_iters = 12
+    cfg.pose_iters_per_round = 6
+    cfg.ba_lm_iters = 6
 
     vo = FusedLoopVisualOdometry(cfg, ArraySequenceDataset(
         lefts, rights, list(rig)), prefetch_depth=0,

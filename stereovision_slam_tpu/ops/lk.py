@@ -30,7 +30,8 @@ _WINDOW_MARGIN = 10  # px each side a point may travel within one level
 
 
 def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
-                 min_eig_threshold, mask=None, windowed=None):
+                 min_eig_threshold, mask=None, windowed=None,
+                 pallas_mode=None):
     """One pyramid level of LK for all points. Returns (new_guesses, ok).
 
     On TPU the per-iteration current-image patch is sampled from a per-point
@@ -47,7 +48,12 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
 
     `windowed` overrides the trace-time path choice (None = by backend +
     level size) so CPU tests can exercise the windowed kernel and assert
-    parity against the dynamic-slice path."""
+    parity against the dynamic-slice path.
+
+    `pallas_mode` chooses how the windowed iteration loop runs: None = the
+    fused Pallas kernel on TPU, the XLA while_loop elsewhere; "pallas" /
+    "interpret" force the kernel (interpret = Pallas interpreter, for CPU
+    parity tests); "xla" forces the while_loop."""
     H, W = prev_img.shape
     ix, iy = imops.scharr_gradients(prev_img)
 
@@ -142,11 +148,32 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     # exits per-point on the same criteria (COUNT+EPS).
     frozen0 = (jnp.zeros(guesses.shape[0], jnp.bool_) if mask is None
                else ~mask)  # untracked slots start frozen -> fast exit
-    out = lax.while_loop(
-        lambda c: (c[0] < max_iters) & ~jnp.all(c[2]), body,
-        (jnp.asarray(0, jnp.int32), guesses, frozen0,
-         jnp.zeros(guesses.shape[0], jnp.bool_)))
-    out_pts, left_win = out[1], out[3]
+    if pallas_mode is None:
+        # measured on the v5e tunnel (2026-08-21): the XLA while_loop with
+        # convergence early-exit runs a 256-point 4-level track in ~2.6 ms
+        # vs ~3.3 ms for the fused kernel — Mosaic lane-pads the (N, 12, 12)
+        # patch tensors to (N, 16, 128) which caps the tile at 64 points,
+        # and the resulting 4-step sequential grid forfeits the early-exit
+        # advantage. The kernel stays available (pallas_mode="pallas") and
+        # bit-identical (tests force both paths); flip the default if a
+        # flat-layout rework lands.
+        pallas_mode = "xla"
+    if windowed and pallas_mode in ("pallas", "interpret"):
+        # the entire iteration loop as ONE fused Pallas kernel — identical
+        # carry semantics, no per-iteration op-dispatch latency
+        from stereovision_slam_tpu.ops.lk_pallas import lk_iterate_window
+        out_pts, _, left_win = lk_iterate_window(
+            big, tmpl, gx, gy, gxx, gxy, gyy, det_safe, solvable,
+            guesses, frozen0,
+            jnp.stack([cx, cy], axis=-1).astype(guesses.dtype),
+            S=S, P=P, max_iters=max_iters, eps=eps, W=W, H=H,
+            interpret=(pallas_mode == "interpret"))
+    else:
+        out = lax.while_loop(
+            lambda c: (c[0] < max_iters) & ~jnp.all(c[2]), body,
+            (jnp.asarray(0, jnp.int32), guesses, frozen0,
+             jnp.zeros(guesses.shape[0], jnp.bool_)))
+        out_pts, left_win = out[1], out[3]
     _, final_inb = imops.sample_patches(cur_img, out_pts, win_size)
     ok = tmpl_ok & solvable & final_inb & ~left_win
     return out_pts, ok
@@ -154,7 +181,8 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
 
 def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
           win_size: int = 11, max_iters: int = 30, eps: float = 0.01,
-          min_eig_threshold: float = 1e-4, mask=None, windowed=None):
+          min_eig_threshold: float = 1e-4, mask=None, windowed=None,
+          pallas_mode=None):
     """Track points from the previous image into the current image.
 
     Args:
@@ -198,7 +226,7 @@ def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
         guesses, ok = _track_level(
             prev_p, cur_p, pts_l, guesses + off,
             win_size, max_iters, eps, min_eig_threshold, mask=mask,
-            windowed=windowed)
+            windowed=windowed, pallas_mode=pallas_mode)
         guesses = guesses - off
         # only require conditioning at the finest level (coarse levels just
         # refine the guess; OpenCV behaves similarly for small images)
@@ -217,7 +245,8 @@ def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
 
 def track_batched(tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks, *,
                   win_size: int = 11, max_iters: int = 30, eps: float = 0.01,
-                  min_eig_threshold: float = 1e-4, windowed=None):
+                  min_eig_threshold: float = 1e-4, windowed=None,
+                  pallas_mode=None):
     """Track G independent point groups — each with its OWN template/target
     image pair — as ONE batched program.
 
@@ -238,7 +267,8 @@ def track_batched(tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks, *,
     Returns (cur_pts (G, N, 2), status (G, N)).
     """
     fn = partial(track, win_size=win_size, max_iters=max_iters, eps=eps,
-                 min_eig_threshold=min_eig_threshold, windowed=windowed)
+                 min_eig_threshold=min_eig_threshold, windowed=windowed,
+                 pallas_mode=pallas_mode)
     return jax.vmap(
         lambda tp, cp, p, i, mk: fn(tp, cp, p, initial_pts=i, mask=mk)
     )(tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks)

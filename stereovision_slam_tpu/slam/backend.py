@@ -399,20 +399,29 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
         lm_pos = lm_pos_c
 
     # adaptive outlier threshold: double until inlier ratio > 0.5
-    # (backend.cpp:166-193) — evaluated on the FULL observation set so the
-    # unlink semantics are unchanged by compaction
-    c_final, in_front = chi2_fn(kf_pose, lm_pos, obs)
+    # (backend.cpp:166-193). With compaction the final chi2 rides the same
+    # one-hot as the LM loop (the full-set evaluation's 2x(K*F)-row gathers
+    # cost more than a whole LM iteration on the TPU runtime); observations
+    # of OVERFLOWED landmarks — absent from the compact set — are simply
+    # never unlinked this pass, consistent with the compaction contract
+    # above (their landmarks also receive no update).
+    if compact:
+        c_final, in_front = chi2_fn(kf_pose, lm_pos_c, obs_c, lm_onehot=O)
+        obs_eval = obs_c
+    else:
+        c_final, in_front = chi2_fn(kf_pose, lm_pos, obs)
+        obs_eval = obs
     total = jnp.maximum(jnp.sum(obs.valid), 1)
 
     # run at most outlier_rounds doublings
     th = jnp.asarray(chi2_th, dtype)
-    ratio = jnp.sum(obs.valid & (c_final <= th) & in_front) / total
+    ratio = jnp.sum(obs_eval.valid & (c_final <= th) & in_front) / total
     for _ in range(outlier_rounds):
         do = ratio <= 0.5
         th = jnp.where(do, th * 2.0, th)
-        ratio = jnp.sum(obs.valid & (c_final <= th) & in_front) / total
+        ratio = jnp.sum(obs_eval.valid & (c_final <= th) & in_front) / total
 
-    outlier = obs.valid & ((c_final > th) | ~in_front)
+    outlier = obs_eval.valid & ((c_final > th) | ~in_front)
     num_outliers = jnp.sum(outlier)
 
     # unlink outlier observations (left+right flattened halves -> (K, F));
@@ -422,11 +431,24 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
     out_r = outlier[K * F:].reshape(K, F)
     sever = out_l | out_r
     linked = m.obs_valid & (m.obs_lm >= 0)
-    dec = jnp.where(sever & linked, 1 + (m.obs_has_r & sever & linked), 0)
-    safe_lm = jnp.where(linked, m.obs_lm, L)
-    new_count = jnp.zeros((L,), jnp.int32).at[safe_lm.reshape(-1)].add(
-        -dec.reshape(-1).astype(jnp.int32), mode="drop") + m.lm_obs_count
-    new_count = jnp.maximum(new_count, 0)
+    if compact:
+        # observation-count decrements via the one-hot (MXU) + a compact-
+        # sized scatter instead of a (2*K*F)-element scatter-add over L
+        dec_flat = jnp.concatenate([
+            (sever & linked).reshape(-1),
+            (sever & linked & m.obs_has_r).reshape(-1)]).astype(dtype)
+        dec_c = jnp.einsum("ml,m->l", O, dec_flat,
+                           precision=_PREC).astype(jnp.int32)
+        new_count = m.lm_obs_count.at[
+            jnp.where(lm_active_c, sel, L)].add(-dec_c, mode="drop")
+        new_count = jnp.maximum(new_count, 0)
+    else:
+        dec = jnp.where(sever & linked,
+                        1 + (m.obs_has_r & sever & linked), 0)
+        safe_lm = jnp.where(linked, m.obs_lm, L)
+        new_count = jnp.zeros((L,), jnp.int32).at[safe_lm.reshape(-1)].add(
+            -dec.reshape(-1).astype(jnp.int32), mode="drop") + m.lm_obs_count
+        new_count = jnp.maximum(new_count, 0)
 
     m = m._replace(
         kf_pose=kf_pose,

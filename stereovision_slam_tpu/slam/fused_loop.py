@@ -423,23 +423,40 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
 
         Returns {frame_id: (3, 4) pose} of the optimized trajectory.
         """
+        import os
+        import time
+
         from stereovision_slam_tpu.slam.pose_graph import (
             PoseGraph, optimize_pose_graph, reanchor_landmarks)
 
+        trace = os.environ.get("SVSLAM_TIME_PGO")
+
+        def tick(tag, t0):
+            if trace:
+                import sys
+                print(f"run_pgo {tag}: {time.perf_counter() - t0:.3f} s",
+                      file=sys.stderr, flush=True)
+            return time.perf_counter()
+
+        t = time.perf_counter()
         edges = self.loop_edges()
+        t = tick("loop_edges", t)
         keyframes, landmarks, _ = self.drain()
+        t = tick("drain", t)
         kf_ids = sorted(keyframes.keys())
         if len(kf_ids) < 3 or not edges:
             return {fid: pose for fid, pose in keyframes.values()}
         slot_of = {k: i for i, k in enumerate(kf_ids)}
         T = len(kf_ids)
         poses = np.stack([keyframes[k][1] for k in kf_ids]).astype(np.float32)
-        ei, ej, meas = [], [], []
-        for a, b in zip(kf_ids[:-1], kf_ids[1:]):
-            rel = np.asarray(se3.se3_compose(
-                jnp.asarray(keyframes[b][1]),
-                se3.se3_inverse(jnp.asarray(keyframes[a][1]))))
-            ei.append(slot_of[b]); ej.append(slot_of[a]); meas.append(rel)
+        # consecutive odometry measurements in ONE batched device call (a
+        # per-edge Python loop would pay a device round trip per keyframe —
+        # measured as the bulk of run_pgo's wall time on the tunnel)
+        rels = np.asarray(se3.se3_compose(
+            jnp.asarray(poses[1:]), se3.se3_inverse(jnp.asarray(poses[:-1]))))
+        ei = list(range(1, T))
+        ej = list(range(0, T - 1))
+        meas = list(rels)
         for e in edges:
             if e.kf_id in slot_of and e.loop_kf_id in slot_of:
                 ei.append(slot_of[e.kf_id])
@@ -467,7 +484,9 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
             edge_j=jnp.asarray(np.pad(np.asarray(ej, np.int32), (0, Ep - E))),
             edge_meas=jnp.asarray(meas_p),
             edge_valid=jnp.asarray(np.arange(Ep) < E))
+        t = tick("graph build", t)
         new_poses = np.asarray(optimize_pose_graph(g, iters=iters))[:T]
+        t = tick("optimize", t)
 
         # landmark re-anchoring (loopclosure.cpp:762-785) via lm_first_kf
         n_lm_used = int(self.ms.next_lm_id)
@@ -504,6 +523,7 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
                 jnp.asarray(poses_p), jnp.asarray(new_poses_p),
                 jnp.asarray(np.arange(Tp) < T)))[:n]
             self._pgo_landmarks = {i: p for i, p in zip(lm_ids, new_lm)}
+        tick("reanchor", t)
         return {fid: pose for fid, pose in out_kfs.values()}
 
 

@@ -79,6 +79,13 @@ def test_fused_loop_no_false_positive_on_straight_line():
     ds = ArraySequenceDataset(np.asarray(lefts), np.asarray(rights),
                               [rig[0], rig[1]])
     cfg = _cfg()
+    # reference-default similarity gates: under the shift-tolerant thumbnail
+    # embedder (models/mobilenet_v2.py) forward views ~12 m apart score
+    # ~0.9 — the strong gate, not PnP, is what must reject them here (the
+    # reference's own discipline: skip recent keyframes + a high strong
+    # threshold, loopclosure.cpp:240-279)
+    cfg.potential_loop_strong_threshold = 0.95
+    cfg.potential_loop_weak_threshold = 0.92
     vo = FusedLoopVisualOdometry(cfg, ds, max_total_keyframes=256,
                                  max_total_landmarks=1 << 14)
     vo.initialize()

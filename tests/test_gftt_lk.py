@@ -192,3 +192,54 @@ def test_keyframe_step_orb_detector_runs():
     fs2, m2, ev, n_new, n_r = fe.keyframe_step(
         fs, m, fs.pyr, cam_l, cam_r, 3, 3, detector="orb")
     assert np.all(np.isfinite(np.asarray(fs2.feat_uv)))
+
+
+def test_lk_pallas_kernel_matches_xla_loop():
+    """The fused Pallas iteration kernel (ops/lk_pallas.py) must be
+    bit-identical to the XLA while_loop on the windowed path — including
+    under vmap (track_batched) and for the window-exit status contract.
+    Runs under the Pallas interpreter on CPU."""
+    key = jax.random.PRNGKey(0)
+    H, W = 200, 320
+    img0 = synthetic.smooth_texture(key, H, W)
+    img1 = synthetic.translate_image(img0, 3.7, -2.3)
+    pyr0 = imops.build_pyramid(img0, 3)
+    pyr1 = imops.build_pyramid(img1, 3)
+    pts, valid, _ = gftt.detect(img0, max_corners=64, min_distance=10)
+    v = np.asarray(valid)
+
+    cur_x, st_x = lk.track(pyr0, pyr1, pts, mask=valid, windowed=True,
+                           pallas_mode="xla")
+    cur_p, st_p = lk.track(pyr0, pyr1, pts, mask=valid, windowed=True,
+                           pallas_mode="interpret")
+    np.testing.assert_array_equal(np.asarray(st_x)[v], np.asarray(st_p)[v])
+    np.testing.assert_array_equal(np.asarray(cur_x)[v], np.asarray(cur_p)[v])
+
+    stack = lambda lv: [jnp.stack([l, l]) for l in lv]
+    b_args = (stack(pyr0), stack(pyr1), jnp.stack([pts, pts]),
+              jnp.stack([pts, pts]), jnp.stack([valid, valid]))
+    cb_x, sb_x = lk.track_batched(*b_args, windowed=True, pallas_mode="xla")
+    cb_p, sb_p = lk.track_batched(*b_args, windowed=True,
+                                  pallas_mode="interpret")
+    np.testing.assert_array_equal(np.asarray(sb_x)[:, v],
+                                  np.asarray(sb_p)[:, v])
+    np.testing.assert_array_equal(np.asarray(cb_x)[:, v],
+                                  np.asarray(cb_p)[:, v])
+
+
+def test_lk_pallas_kernel_window_exit_contract():
+    """Window-exit reports status False through the Pallas path too."""
+    H, W = 160, 200
+    yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
+                          jnp.arange(W, dtype=jnp.float32), indexing="ij")
+
+    def blob(cx, cy, sig=12.0):
+        return 200.0 * jnp.exp(-((xx - cx) ** 2 + (yy - cy) ** 2)
+                               / (2 * sig * sig))
+
+    img0 = blob(100.0, 80.0)
+    img1 = blob(114.0, 80.0)
+    pts = jnp.array([[100.0, 80.0]])
+    _, st = lk.track([img0], [img1], pts, windowed=True,
+                     pallas_mode="interpret", max_iters=60)
+    assert not bool(st[0])
