@@ -47,11 +47,12 @@ def main():
     cfg.num_features = 250
     cfg.num_features_needed_for_keyframe = 160
     cfg.keyframes_to_skip_in_candidate_search = 12
-    cfg.potential_loop_strong_threshold = 0.90
-    cfg.potential_loop_weak_threshold = 0.85
+    cfg.potential_loop_strong_threshold = 0.52
+    cfg.potential_loop_weak_threshold = 0.45
     cfg.max_num_weak_threshold = 100
     cfg.min_num_acceptable_keypoint_match = 10
     cfg.lk_max_iters = 12
+    cfg.pose_rounds = 3
     cfg.pose_iters_per_round = 6
     cfg.ba_lm_iters = 6
 

@@ -51,7 +51,11 @@ def triangulate(poses: jax.Array, points: jax.Array, sv_ratio_thresh: float = 1e
     # Null vector = eigenvector of the smallest eigenvalue of A^T A (4x4 PSD);
     # eig_i(A^T A) = sigma_i(A)^2. symeig_small returns ascending order.
     B = jnp.einsum("nri,nrj->nij", A, A)
-    lam, V = symeig_small(B)
+    # 4 cyclic-Jacobi sweeps: measured indistinguishable from 8 for these
+    # 4x4 PSD Gram matrices (triangulated-point error identical to the
+    # observation-noise floor from 3 sweeps up), and the sweep stack is a
+    # top per-keyframe cost on the TPU profile (benchmarks/profile_lc_step)
+    lam, V = symeig_small(B, sweeps=4)
     lam = jnp.maximum(lam, 0.0)               # PSD: clamp tiny negatives
     s = jnp.sqrt(lam[:, ::-1])                # descending singular values of A
     w = V[:, :, 0]                            # (N, 4) smallest-eig eigenvector
