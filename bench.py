@@ -267,8 +267,8 @@ def main():
 
     print(json.dumps({
         "metric": "full-pipeline (frontend+BA+loop-closure) frames/sec per "
-                  "chip (synthetic KITTI-scale 620x188 circuit, drained "
-                  "end-to-end, post-PGO ATE gated)",
+                  f"chip (synthetic KITTI-scale 620x188 {SCENE} scene, "
+                  "drained end-to-end, post-PGO ATE gated)",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / ref_fps_bound, 3),

@@ -411,7 +411,7 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
     else:
         c_final, in_front = chi2_fn(kf_pose, lm_pos, obs)
         obs_eval = obs
-    total = jnp.maximum(jnp.sum(obs.valid), 1)
+    total = jnp.maximum(jnp.sum(obs_eval.valid), 1)
 
     # run at most outlier_rounds doublings
     th = jnp.asarray(chi2_th, dtype)

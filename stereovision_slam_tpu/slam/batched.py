@@ -71,7 +71,7 @@ def batched_staggered_step(fs, ms, arc, kf_count, left_img, right_img,
                            quality_level=0.01, max_depth=300.0, num_active=10,
                            kf_threshold=80, bad_threshold=20, chi2_th=5.991,
                            backend_on=True, ba_iters=10, detector="gftt",
-                           ba_max_active=1024, m=1):
+                           ba_max_active=None, m=1):
     """Advance B streams one frame with a STAGGERED keyframe branch.
 
     Under vmap every per-lane `lax.cond` lowers to both-branches + select,
@@ -331,7 +331,7 @@ class BatchedFusedVisualOdometry:
                     chi2_th=cfg.chi2_th, backend_on=bool(cfg.backend_on),
                     ba_iters=cfg.ba_lm_iters,
                     detector=cfg.keypoint_feature_detector.lower(),
-                    ba_max_active=cfg.ba_max_active_landmarks or 1024,
+                    ba_max_active=cfg.ba_max_active_landmarks or None,
                     m=self.B // self.kf_stagger)
         else:
             self.fs, self.ms, self.arc, self.kf_count, out = batched_fused_step(

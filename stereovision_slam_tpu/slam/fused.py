@@ -649,11 +649,13 @@ class FusedVisualOdometry:
         if n_out:
             arrays["out.fids"] = np.asarray(self._fids, np.int64)
             # pull the used prefix of the device output buffer (one transfer
-            # per leaf); stored in the same per-field layout as before
+            # per leaf; rounded slice shape so repeat checkpoints at varying
+            # frame counts reuse one compiled slice program)
+            p = min(self.Fmax, _round_up(n_out, 256))
             prefix = jax.device_get(
-                jax.tree.map(lambda b: b[:n_out], self.out_buf))
+                jax.tree.map(lambda b: b[:p], self.out_buf))
             for f, v in zip(FrameOutputs._fields, prefix):
-                arrays[f"out.{f}"] = v
+                arrays[f"out.{f}"] = v[:n_out]
         meta = {
             "mode": type(self).__name__,
             "num_pyr_levels": len(fs.pyr),
@@ -694,6 +696,11 @@ class FusedVisualOdometry:
         self._out_cache = None
         self.out_buf = empty_outputs(self.Fmax)
         n_out = meta["num_outputs"]
+        if n_out > self.Fmax:
+            raise RuntimeError(
+                f"checkpoint holds {n_out} frame outputs but this instance "
+                f"was constructed with max_frames={self.Fmax}; construct "
+                "with a larger max_frames= to restore it")
         if n_out:
             self._fids = [int(f) for f in arrays["out.fids"]]
             self.out_buf = FrameOutputs(*[
@@ -802,6 +809,10 @@ class ScanVisualOdometry(FusedVisualOdometry):
         if host_fids is None:
             host_fids = np.asarray(fids)
             n = len(host_fids) if n is None else n
+        if len(self._fids) + int(lefts.shape[0]) > self.Fmax:
+            raise RuntimeError(
+                f"output buffer full ({self.Fmax} frames); construct with a "
+                "larger max_frames= for longer sequences")
         (self.fs, self.ms, self.arc, self.kf_count,
          self.out_buf) = scan_fn(
             self.fs, self.ms, self.arc, self.kf_count, self.out_buf,

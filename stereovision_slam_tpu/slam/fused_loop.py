@@ -295,17 +295,34 @@ def build_lc_scan_chunk(unroll: int | bool = False, **static):
             return (fs, ms, arc, kf_count, ls), out
         return body
 
-    def chunk_fn(fs, ms, arc, kf_count, ls, out_buf, cam_left, cam_right,
-                 mnv2_params, lefts, rights, frame_ids, valid, out_idx):
-        (fs, ms, arc, kf_count, ls), outs = lax.scan(
-            make_body(cam_left, cam_right, mnv2_params),
-            (fs, ms, arc, kf_count, ls),
-            (lefts, rights, frame_ids, valid),
-            unroll=int(unroll) or 1)
-        out_buf = jax.tree.map(
-            lambda b, o: lax.dynamic_update_slice_in_dim(
-                b, o.astype(b.dtype), out_idx, axis=0), out_buf, outs)
-        return fs, ms, arc, kf_count, ls, out_buf
+    if unroll is True:
+        def chunk_fn(fs, ms, arc, kf_count, ls, out_buf, cam_left, cam_right,
+                     mnv2_params, lefts, rights, frame_ids, valid, out_idx):
+            body = make_body(cam_left, cam_right, mnv2_params)
+            outs = []
+            carry = (fs, ms, arc, kf_count, ls)
+            for i in range(lefts.shape[0]):
+                carry, out = body(
+                    carry, (lefts[i], rights[i], frame_ids[i], valid[i]))
+                outs.append(out)
+            fs, ms, arc, kf_count, ls = carry
+            outs = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+            out_buf = jax.tree.map(
+                lambda b, o: lax.dynamic_update_slice_in_dim(
+                    b, o.astype(b.dtype), out_idx, axis=0), out_buf, outs)
+            return fs, ms, arc, kf_count, ls, out_buf
+    else:
+        def chunk_fn(fs, ms, arc, kf_count, ls, out_buf, cam_left, cam_right,
+                     mnv2_params, lefts, rights, frame_ids, valid, out_idx):
+            (fs, ms, arc, kf_count, ls), outs = lax.scan(
+                make_body(cam_left, cam_right, mnv2_params),
+                (fs, ms, arc, kf_count, ls),
+                (lefts, rights, frame_ids, valid),
+                unroll=int(unroll) or 1)
+            out_buf = jax.tree.map(
+                lambda b, o: lax.dynamic_update_slice_in_dim(
+                    b, o.astype(b.dtype), out_idx, axis=0), out_buf, outs)
+            return fs, ms, arc, kf_count, ls, out_buf
 
     return jax.jit(chunk_fn, donate_argnums=(0, 1, 2, 3, 4, 5))
 
@@ -488,12 +505,16 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         new_poses = np.asarray(optimize_pose_graph(g, iters=iters))[:T]
         t = tick("optimize", t)
 
-        # landmark re-anchoring (loopclosure.cpp:762-785) via lm_first_kf
+        # landmark re-anchoring (loopclosure.cpp:762-785) via lm_first_kf;
+        # one fused device_get for everything the re-anchoring needs (the
+        # ms tables were already pulled by drain() above only in part — the
+        # prefix leaves here complete the set in a single transfer batch)
         n_lm_used = int(self.ms.next_lm_id)
         lp = min(self.Lmax, fused._round_up(max(n_lm_used, 1), 4096))
-        arc_first, arc_set = jax.device_get(
-            (self.arc.lm_first_kf[:lp], self.arc.lm_set[:lp]))
-        ms = jax.device_get(self.ms)
+        arc_first, arc_set, ms_lm_valid, ms_lm_id, ms_lm_first = \
+            jax.device_get((self.arc.lm_first_kf[:lp], self.arc.lm_set[:lp],
+                            self.ms.lm_valid, self.ms.lm_id,
+                            self.ms.lm_first_kf))
         out_kfs = {}
         for k, slot in slot_of.items():
             out_kfs[k] = (keyframes[k][0], new_poses[slot])
@@ -501,8 +522,8 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         first_of = {}
         for gid in np.nonzero(arc_set)[0]:
             first_of[int(gid)] = int(arc_first[gid])
-        for s in np.nonzero(ms.lm_valid)[0]:
-            first_of[int(ms.lm_id[s])] = int(ms.lm_first_kf[s])
+        for s in np.nonzero(ms_lm_valid)[0]:
+            first_of[int(ms_lm_id[s])] = int(ms_lm_first[s])
         if landmarks:
             lm_ids = list(landmarks.keys())
             lm_pos = np.stack([landmarks[i] for i in lm_ids])

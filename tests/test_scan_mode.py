@@ -60,3 +60,29 @@ def test_scan_drain_idempotent(scene):  # noqa: F811
     kf2, lm2, fr2 = vo.drain()
     assert len(fr2) == len(fr1)
     assert set(kf2) == set(kf1)
+
+
+def test_scan_mode_output_buffer_guard():
+    """A chunk that would overflow the preallocated output buffer must fail
+    loudly instead of silently clobbering earlier frames (code-review r3)."""
+    import numpy as np
+    import pytest
+    from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
+    from stereovision_slam_tpu.slam.config import SlamConfig
+    from stereovision_slam_tpu.slam.fused import ScanVisualOdometry
+    from tests import synthetic
+
+    rig = synthetic.make_stereo_rig(fx=200.0, fy=200.0, cx=160.0, cy=48.0)
+    poses = synthetic.forward_motion_poses(10, step=0.4)
+    lefts, rights = synthetic.render_textured_stereo_sequence(
+        poses, H=96, W=320, rig=rig)
+    cfg = SlamConfig(num_features=60, num_features_init=15, max_features=96,
+                     max_landmarks=512, num_active_keyframes=5)
+    vo = ScanVisualOdometry(cfg, ArraySequenceDataset(
+        np.asarray(lefts), np.asarray(rights), list(rig)), chunk_size=4,
+        max_total_keyframes=64, max_total_landmarks=2048, max_frames=8)
+    vo.initialize()
+    vo.step()  # frames 0-3
+    vo.step()  # frames 4-7: buffer now full
+    with pytest.raises(RuntimeError, match="output buffer full"):
+        vo.step()  # frames 8-9 would overflow
