@@ -139,7 +139,11 @@ def main():
     cfg.pose_iters_per_round = 6
     cfg.ba_lm_iters = 6
 
-    # dispatch-health probe (stderr): ~0.02-0.05 ms on a healthy runtime
+    # runtime-health probes (stderr): ~0.02-0.05 ms/op dispatch and
+    # ~45 MB/s readback on a healthy tunnel. The tunnel has been observed
+    # to degrade to ~0.3 MB/s readback after backend outages, which
+    # inflates drain (and so the scored fps) ~5x with no code change —
+    # these lines make a degraded-environment run attributable.
     probe_x = jnp.ones((8, 128))
     probe_f = jax.jit(lambda v: v * 2 + 1)
     probe_f(probe_x).block_until_ready()
@@ -149,6 +153,12 @@ def main():
     y.block_until_ready()
     print(f"dispatch probe: {(time.perf_counter() - t0) / 50 * 1000:.3f} "
           "ms/op", file=sys.stderr)
+    bw_x = jnp.ones((256 * 1024,), jnp.float32)  # 1 MB
+    bw_x.block_until_ready()
+    t0 = time.perf_counter()
+    np.asarray(bw_x)
+    print(f"readback probe: {1.0 / (time.perf_counter() - t0):.1f} MB/s",
+          file=sys.stderr)
 
     # Pre-stage every frame on the device (the benchmark measures per-chip
     # compute throughput; the native prefetching loader overlaps uploads on

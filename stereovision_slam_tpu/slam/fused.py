@@ -592,7 +592,12 @@ class FusedVisualOdometry:
         n_lm = int(self.ms.next_lm_id)
         kp = min(self.Tmax, _round_up(max(n_kf, 1), 256))
         lp = min(self.Lmax, _round_up(max(n_lm, 1), 4096))
-        arc, ms = jax.device_get((
+        # ONE fused transfer of exactly the leaves drain consumes (the full
+        # MapState includes the (K, F) observation tables, which drain never
+        # reads — on a degraded tunnel every avoidable byte/round-trip shows
+        # up directly in the scored number)
+        (arc, ms_kf_valid, ms_kf_id, ms_kf_frame_id, ms_kf_pose,
+         ms_lm_valid, ms_lm_id, ms_lm_pos) = jax.device_get((
             ArchiveState(
                 kf_pose=self.arc.kf_pose[:kp],
                 kf_frame_id=self.arc.kf_frame_id[:kp],
@@ -600,21 +605,23 @@ class FusedVisualOdometry:
                 lm_pos=self.arc.lm_pos[:lp],
                 lm_first_kf=self.arc.lm_first_kf[:lp],
                 lm_set=self.arc.lm_set[:lp]),
-            self.ms))
+            self.ms.kf_valid, self.ms.kf_id, self.ms.kf_frame_id,
+            self.ms.kf_pose, self.ms.lm_valid, self.ms.lm_id,
+            self.ms.lm_pos))
 
         keyframes = {}
         for kf_id in np.nonzero(arc.kf_set)[0]:
             keyframes[int(kf_id)] = (int(arc.kf_frame_id[kf_id]),
                                      arc.kf_pose[kf_id])
         # active window overrides archive (freshest poses)
-        for slot in np.nonzero(ms.kf_valid)[0]:
-            keyframes[int(ms.kf_id[slot])] = (int(ms.kf_frame_id[slot]),
-                                              ms.kf_pose[slot])
+        for slot in np.nonzero(ms_kf_valid)[0]:
+            keyframes[int(ms_kf_id[slot])] = (int(ms_kf_frame_id[slot]),
+                                              ms_kf_pose[slot])
         landmarks = {}
         for gid in np.nonzero(arc.lm_set)[0]:
             landmarks[int(gid)] = arc.lm_pos[gid]
-        for slot in np.nonzero(ms.lm_valid)[0]:
-            landmarks[int(ms.lm_id[slot])] = ms.lm_pos[slot]
+        for slot in np.nonzero(ms_lm_valid)[0]:
+            landmarks[int(ms_lm_id[slot])] = ms_lm_pos[slot]
         return keyframes, landmarks, self.outputs
 
     def trajectory(self) -> dict[int, np.ndarray]:
