@@ -94,6 +94,12 @@ class SlamConfig:
     # slam/backend.py optimize_window). Must be >= the realistic active
     # landmark count (window keyframes x features tracked); 0 disables.
     ba_max_active_landmarks: int = 1024
+    ba_every_kth_keyframe: int = 1   # run BA on every k-th keyframe (1 =
+    #   the reference's per-keyframe cadence, backend.cpp:289-294).
+    #   Measured on the circuit bench scene: k=2 degrades pre-PGO ATE
+    #   ~7x (0.077 -> 0.53 m / 42 m) AND inserts ~40% more keyframes
+    #   (unrefined poses shed inliers faster), eating the savings — keep 1
+    #   unless a deployment tolerates the accuracy trade
     image_height: int = 188          # KITTI 2x-downsampled (dataset.cpp:126-129)
     image_width: int = 620
 

@@ -130,7 +130,7 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                      ba_max_active: int | None = 1024,
                      lost_recovery: bool = True,
                      lk_iters: int = 30, pose_rounds: int = 4,
-                     pose_iters: int = 10,
+                     pose_iters: int = 10, ba_every: int = 1,
                      kf_hook=None, hook_state=None):
     """One full SLAM frame as a single traced computation (unjitted — shared
     by the scalar `fused_step` and the vmapped `slam/batched.py` variant).
@@ -178,11 +178,22 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
                 num_active=num_active, detect_all=False, detector=detector,
                 lk_iters=lk_iters)
             if backend_on:
-                ms2, _ = optimize_window(ms2, cam_left, cam_right,
-                                         chi2_th=chi2_th, iters=ba_iters,
-                                         max_active_landmarks=ba_max_active)
-                newest = jnp.argmax(jnp.where(ms2.kf_valid, ms2.kf_id, -1))
-                fs2 = fs2._replace(T_cur=ms2.kf_pose[newest])
+                def run_ba(ops):
+                    fs2, ms2 = ops
+                    ms3, _ = optimize_window(
+                        ms2, cam_left, cam_right, chi2_th=chi2_th,
+                        iters=ba_iters, max_active_landmarks=ba_max_active)
+                    newest = jnp.argmax(jnp.where(ms3.kf_valid, ms3.kf_id,
+                                                  -1))
+                    return fs2._replace(T_cur=ms3.kf_pose[newest]), ms3
+
+                if ba_every > 1:
+                    # BA cadence: every ba_every-th keyframe (a real branch
+                    # at runtime - only the taken side executes on TPU)
+                    fs2, ms2 = lax.cond(kf_id % ba_every == 0, run_ba,
+                                        lambda o: o, (fs2, ms2))
+                else:
+                    fs2, ms2 = run_ba((fs2, ms2))
             if kf_hook is not None:
                 # keyframe-rate extension point (device-side loop closure,
                 # slam/fused_loop.py): may correct poses/landmarks, so it
@@ -335,7 +346,7 @@ _FUSED_STATICS = (
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
     "backend_on", "ba_iters", "detector", "num_features_init",
     "init_branch", "ba_max_active", "lost_recovery", "lk_iters",
-    "pose_rounds", "pose_iters")
+    "pose_rounds", "pose_iters", "ba_every")
 
 fused_step = partial(jax.jit, static_argnames=_FUSED_STATICS,
                      donate_argnums=(0, 1, 2, 3))(_fused_step_impl)
@@ -546,7 +557,8 @@ class FusedVisualOdometry:
             num_features_init=cfg.num_features_init,
             ba_max_active=cfg.ba_max_active_landmarks or None,
             lk_iters=cfg.lk_max_iters, pose_rounds=cfg.pose_rounds,
-            pose_iters=cfg.pose_iters_per_round)
+            pose_iters=cfg.pose_iters_per_round,
+            ba_every=cfg.ba_every_kth_keyframe)
         self._fids.append(frame_id)
         return True
 
@@ -762,7 +774,8 @@ class ScanVisualOdometry(FusedVisualOdometry):
                 num_features_init=cfg.num_features_init,
                 ba_max_active=cfg.ba_max_active_landmarks or None,
                 lk_iters=cfg.lk_max_iters, pose_rounds=cfg.pose_rounds,
-                pose_iters=cfg.pose_iters_per_round)
+                pose_iters=cfg.pose_iters_per_round,
+                ba_every=cfg.ba_every_kth_keyframe)
         return self._scan_fn
 
     def _next_chunk(self):

@@ -233,7 +233,7 @@ _LC_STATICS = (
     "num_levels", "num_features", "min_distance", "quality_level",
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
     "backend_on", "ba_iters", "detector", "num_features_init", "init_branch",
-    "lk_iters", "pose_rounds", "pose_iters",
+    "lk_iters", "pose_rounds", "pose_iters", "ba_every",
     "skip", "cooldown", "strong", "weak", "max_weak", "min_match",
     "min_pose_diff", "max_pose_diff", "max_loop_dist", "num_hypotheses")
 
@@ -389,6 +389,7 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
             num_features_init=cfg.num_features_init,
             lk_iters=cfg.lk_max_iters, pose_rounds=cfg.pose_rounds,
             pose_iters=cfg.pose_iters_per_round,
+            ba_every=cfg.ba_every_kth_keyframe,
             skip=cfg.keyframes_to_skip_in_candidate_search,
             cooldown=cfg.keyframes_to_ignore_after_loop,
             strong=cfg.potential_loop_strong_threshold,
@@ -582,6 +583,7 @@ class ScanLoopVisualOdometry(FusedLoopVisualOdometry):
                 ba_max_active=cfg.ba_max_active_landmarks or None,
                 lk_iters=cfg.lk_max_iters, pose_rounds=cfg.pose_rounds,
                 pose_iters=cfg.pose_iters_per_round,
+                ba_every=cfg.ba_every_kth_keyframe,
                 skip=cfg.keyframes_to_skip_in_candidate_search,
                 cooldown=cfg.keyframes_to_ignore_after_loop,
                 strong=cfg.potential_loop_strong_threshold,
