@@ -34,10 +34,12 @@ Measurement protocol — HONEST throughput (round 2 revision, kept):
     index inside the fused program; archives are pulled as used-prefix
     slices — drain is a handful of transfers, not a T-operand stack
     (VERDICT r2 #1).
-  * A tiny readback every 8 frames keeps the dispatch queue shallow (the
-    runtime degrades ~10x under unsynchronized dispatch floods,
-    benchmarks/probe_stream.py). The sync waits for true completion, so it
-    can only make the measured fps SLOWER, never faster.
+  * A tiny readback every 32 frames keeps the dispatch queue bounded (the
+    runtime degrades ~10x under unsynchronized floods of >>60 dispatches,
+    benchmarks/probe_stream.py; measured round 3: fps plateaus at sync
+    cadence 32-64 and drops ~15% at 8, so 32 keeps a safe margin under
+    the flood edge). The sync waits for true completion, so it can only
+    make the measured fps SLOWER, never faster.
   * The scene is rendered by a SUBPROCESS (benchmarks/render_scene.py) so
     the benchmark process stays free of render work and large host
     round-trips before the timed region.
@@ -89,6 +91,7 @@ def main():
     #           per-dispatch host/RPC cost; sync per chunk)
     MODE = os.environ.get("BENCH_MODE", "fused")
     CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
+    SYNC = int(os.environ.get("BENCH_SYNC", "32"))
     SCENE = os.environ.get("BENCH_SCENE", "circuit")
     # Render the scene in an ISOLATED SUBPROCESS (module docstring).
     with tempfile.TemporaryDirectory() as tmp:
@@ -181,10 +184,10 @@ def main():
         n = 0
         while vo.step():
             n += 1
-            # periodic tiny sync keeps the dispatch queue shallow (module
+            # periodic tiny sync keeps the dispatch queue bounded (module
             # docstring); waits for real completion, so the clock still
             # measures true throughput
-            if n % 8 == 0:
+            if n % SYNC == 0:
                 np.asarray(vo.fs.T_cur)
         t_enq = time.perf_counter() - t0
         keyframes, landmarks, frames = vo.drain()   # all results on host

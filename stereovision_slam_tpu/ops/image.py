@@ -239,6 +239,48 @@ def _gather_patches_mxu(img, y0, x0, size):
                       precision=lax.Precision.HIGHEST)
 
 
+def sample_patches_multi(imgs: jax.Array, centers: jax.Array, size: int):
+    """Bilinearly sample patches from C same-shape images at SHARED centers.
+
+    One one-hot select pass serves all C images (the row/column selectors
+    and bilinear fractions depend only on the centers): on TPU this is one
+    (N*S, H) x (H, C*W)-shaped einsum chain instead of C separate gather
+    programs — used by the LK tracker, whose template/gradient-x/gradient-y
+    patches share their centers. Bit-identical to C `sample_patches` calls
+    (each output element is still 1.0 * pixel).
+
+    Args:
+      imgs: (C, H, W) stack.
+      centers: (N, 2) float (x, y).
+      size: odd patch side length.
+
+    Returns (patches (C, N, size, size), valid (N,)).
+    """
+    C, H, W = imgs.shape
+    y0, x0, frac, valid = _patch_corners(imgs[0], centers, size)
+    if jax.default_backend() == "cpu":
+        def one(y, x):
+            return lax.dynamic_slice(imgs, (0, y, x),
+                                     (C, size + 1, size + 1))
+        raw = jax.vmap(one)(y0, x0)              # (N, C, S, S)
+        raw = jnp.swapaxes(raw, 0, 1)            # (C, N, S, S)
+    else:
+        N = y0.shape[0]
+        S = size + 1
+        hh = lax.broadcasted_iota(jnp.int32, (N, S, H), 2)
+        rr = lax.broadcasted_iota(jnp.int32, (N, S, H), 1)
+        rsel = (hh == y0[:, None, None] + rr).astype(imgs.dtype)
+        rows = jnp.einsum("nsh,chw->cnsw", rsel, imgs,
+                          precision=lax.Precision.HIGHEST)
+        ww = lax.broadcasted_iota(jnp.int32, (N, W, S), 1)
+        cc = lax.broadcasted_iota(jnp.int32, (N, W, S), 2)
+        csel = (ww == x0[:, None, None] + cc).astype(imgs.dtype)
+        raw = jnp.einsum("cnsw,nwq->cnsq", rows, csel,
+                         precision=lax.Precision.HIGHEST)
+    patches = jax.vmap(_bilinear_combine, in_axes=(0, None))(raw, frac)
+    return patches, valid
+
+
 def bilinear_sample(img: jax.Array, pts: jax.Array):
     """Bilinearly sample the image at (N, 2) float (x, y) points.
 

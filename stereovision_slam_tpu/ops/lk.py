@@ -57,10 +57,10 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     H, W = prev_img.shape
     ix, iy = imops.scharr_gradients(prev_img)
 
-    # template patches + gradient patches (fixed for the level)
-    tmpl, tmpl_ok = imops.sample_patches(prev_img, prev_pts, win_size)
-    gx, _ = imops.sample_patches(ix, prev_pts, win_size)
-    gy, _ = imops.sample_patches(iy, prev_pts, win_size)
+    # template + gradient patches share their centers: one fused gather
+    # pass for all three images (fixed for the level)
+    (tmpl, gx, gy), tmpl_ok = imops.sample_patches_multi(
+        jnp.stack([prev_img, ix, iy]), prev_pts, win_size)
 
     gxx = jnp.sum(gx * gx, axis=(1, 2))
     gxy = jnp.sum(gx * gy, axis=(1, 2))
