@@ -17,8 +17,11 @@ Beyond the reference: --platform cpu|tpu backend override,
              frame;
   scan     — fused semantics, one `lax.scan` device dispatch per 32-frame
              chunk (recorded sequences / slow host links);
-  unrolled — fused semantics, one UNROLLED device dispatch per 8-frame chunk
-             (fastest measured; chunk-sized compile paid once, cached).
+  unrolled — fused semantics, one UNROLLED device dispatch per 8-frame chunk.
+             A hedge for hosts where per-dispatch cost dominates; NOT
+             recommended on the axon runtime, where it measured pathological
+             under dispatch floods (docs/PERFORMANCE.md "Dispatch
+             topologies").
 """
 
 import os

@@ -267,6 +267,13 @@ def main():
     if SCENE == "circuit":
         assert n_loops >= 1, "no loop closed on the circuit scene"
     assert ate_pgo < 0.02 * dist, f"ATE {ate_pgo:.3f} m over {dist:.0f} m"
+    # the global optimization must IMPROVE the trajectory, not just stay
+    # under the absolute gate (VERDICT r3: recomputed odometry edges let a
+    # PGO that made the answer 3x worse still pass) — odometry edges now
+    # come from the device-recorded per-keyframe relative poses
+    if n_loops >= 1:
+        assert ate_pgo <= ate_rmse + 1e-6, \
+            f"PGO degraded the trajectory: {ate_pgo:.4f} > {ate_rmse:.4f}"
 
     # measured reference baseline: time the reference's own OpenCV hot-path
     # kernels on this host (see module docstring); fall back to the recorded

@@ -420,18 +420,24 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
             name: jnp.asarray(arrays[f"ls.{name}"])
             for name in LoopState._fields})
 
+    def _drain_counts(self):
+        return (self.kf_count, self.ms.next_lm_id, self.ls.n_loops)
+
+    def _pack_device(self, kp: int, lp: int, fp: int, counts):
+        # rounded edge prefix: the pack program's shapes recur across runs
+        ep = min(self.ls.loop_i.shape[0],
+                 fused._round_up(max(counts[2], 1), 16))
+        return fused._pack_drain(self.arc, self.ms, self.out_buf, self.ls,
+                                 kp=kp, lp=lp, fp=fp, ep=ep)
+
     def loop_edges(self) -> list[LoopEdgeRecord]:
-        """Drain the device edge log (reads back — call after streaming)."""
-        ls = self.ls
-        n = int(ls.n_loops)
-        # rounded prefix: the slice programs' shapes recur across runs (an
-        # n-exact slice would compile a fresh program per distinct edge
-        # count on every run — measured ~0.9 s of remote compiles per drain)
-        p = min(ls.loop_i.shape[0], fused._round_up(max(n, 1), 16))
-        li, lj, rel = jax.device_get(
-            (ls.loop_i[:p], ls.loop_j[:p], ls.loop_rel[:p]))
+        """The device edge log, from the shared packed drain (no extra
+        device traffic after the first drain-family call)."""
+        d = self._device_drain()
+        n = d["n_loops"]
         return [LoopEdgeRecord(int(a), int(b), r)
-                for a, b, r in zip(li[:n], lj[:n], rel[:n])]
+                for a, b, r in zip(d["loop_i"][:n], d["loop_j"][:n],
+                                   d["loop_rel"][:n])]
 
     def run_pgo(self, iters: int = 22):
         """Global pose-graph optimization over the full trajectory
@@ -439,7 +445,17 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         recorded loop edges; keyframe poses written back, landmarks
         re-anchored via their first observing keyframe.
 
-        Returns {frame_id: (3, 4) pose} of the optimized trajectory.
+        The consecutive-edge measurements are the DEVICE-RECORDED per-
+        keyframe relative poses (arc.kf_rel — the reference's
+        relative_pose_pkf_, refreshed after BA, loopclosure.cpp:725-731),
+        NOT relative poses recomputed from the drained absolute trajectory:
+        after a LocalFusion only the active window is corrected, so a
+        recomputed edge spanning the archive/window boundary would encode
+        the whole loop correction as odometry and fight the loop edge
+        (VERDICT r3 #1 — post-PGO ATE was 3x worse than pre-PGO).
+
+        Consumes the cached packed drain — zero device readbacks beyond the
+        PGO solve itself. Returns {frame_id: (3, 4) pose}.
         """
         import os
         import time
@@ -457,8 +473,8 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
             return time.perf_counter()
 
         t = time.perf_counter()
+        d = self._device_drain()
         edges = self.loop_edges()
-        t = tick("loop_edges", t)
         keyframes, landmarks, _ = self.drain()
         t = tick("drain", t)
         kf_ids = sorted(keyframes.keys())
@@ -467,14 +483,25 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         slot_of = {k: i for i, k in enumerate(kf_ids)}
         T = len(kf_ids)
         poses = np.stack([keyframes[k][1] for k in kf_ids]).astype(np.float32)
-        # consecutive odometry measurements in ONE batched device call (a
-        # per-edge Python loop would pay a device round trip per keyframe —
-        # measured as the bulk of run_pgo's wall time on the tunnel)
-        rels = np.asarray(se3.se3_compose(
-            jnp.asarray(poses[1:]), se3.se3_inverse(jnp.asarray(poses[:-1]))))
-        ei = list(range(1, T))
-        ej = list(range(0, T - 1))
-        meas = list(rels)
+        rel_tab = d["kf_rel"]
+
+        def np_rel(pa, pb):
+            """T_a * T_b^-1 for (3, 4) host arrays (fallback only)."""
+            Ra, ta = pa[:, :3], pa[:, 3]
+            Rb, tb = pb[:, :3], pb[:, 3]
+            R = Ra @ Rb.T
+            return np.concatenate([R, (ta - R @ tb)[:, None]], axis=1)
+
+        ei, ej, meas = [], [], []
+        for k_prev, k in zip(kf_ids, kf_ids[1:]):
+            if k == k_prev + 1 and k < rel_tab.shape[0]:
+                meas.append(rel_tab[k])
+            else:  # id gap (never produced by the pipeline; checkpoints may)
+                meas.append(np_rel(np.asarray(keyframes[k][1], np.float32),
+                                   np.asarray(keyframes[k_prev][1],
+                                              np.float32)))
+            ei.append(slot_of[k])
+            ej.append(slot_of[k_prev])
         for e in edges:
             if e.kf_id in slot_of and e.loop_kf_id in slot_of:
                 ei.append(slot_of[e.kf_id])
@@ -506,29 +533,18 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         new_poses = np.asarray(optimize_pose_graph(g, iters=iters))[:T]
         t = tick("optimize", t)
 
-        # landmark re-anchoring (loopclosure.cpp:762-785) via lm_first_kf;
-        # one fused device_get for everything the re-anchoring needs (the
-        # ms tables were already pulled by drain() above only in part — the
-        # prefix leaves here complete the set in a single transfer batch)
-        n_lm_used = int(self.ms.next_lm_id)
-        lp = min(self.Lmax, fused._round_up(max(n_lm_used, 1), 4096))
-        arc_first, arc_set, ms_lm_valid, ms_lm_id, ms_lm_first = \
-            jax.device_get((self.arc.lm_first_kf[:lp], self.arc.lm_set[:lp],
-                            self.ms.lm_valid, self.ms.lm_id,
-                            self.ms.lm_first_kf))
+        # landmark re-anchoring (loopclosure.cpp:762-785) via lm_first_kf —
+        # everything it needs (the merged first-observer table) is already
+        # in the cached packed drain; no device re-pull
         out_kfs = {}
         for k, slot in slot_of.items():
             out_kfs[k] = (keyframes[k][0], new_poses[slot])
         self._pgo_keyframes = out_kfs
-        first_of = {}
-        for gid in np.nonzero(arc_set)[0]:
-            first_of[int(gid)] = int(arc_first[gid])
-        for s in np.nonzero(ms_lm_valid)[0]:
-            first_of[int(ms_lm_id[s])] = int(ms_lm_first[s])
+        lm_first_tab = d["lm_first"]
         if landmarks:
             lm_ids = list(landmarks.keys())
             lm_pos = np.stack([landmarks[i] for i in lm_ids])
-            first = np.array([slot_of.get(first_of.get(i, -1), -1)
+            first = np.array([slot_of.get(int(lm_first_tab[i]), -1)
                               for i in lm_ids], np.int32)
             # pad to shape buckets (see the PGO padding note above)
             n = len(lm_ids)
@@ -609,6 +625,10 @@ class ScanLoopVisualOdometry(FusedLoopVisualOdometry):
         if host_fids is None:
             host_fids = np.asarray(fids)
             n = len(host_fids) if n is None else n
+        if len(self._fids) + int(lefts.shape[0]) > self.Fmax:
+            raise RuntimeError(
+                f"output buffer full ({self.Fmax} frames); construct with a "
+                "larger max_frames= for longer sequences")
         (self.fs, self.ms, self.arc, self.kf_count, self.ls,
          self.out_buf) = scan_fn(
             self.fs, self.ms, self.arc, self.kf_count, self.ls, self.out_buf,
