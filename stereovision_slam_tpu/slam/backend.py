@@ -210,6 +210,131 @@ def _assemble_onehot(r, J_pose, J_point, w, O: jax.Array, K: int):
     return H_pp, b_p, H_ll, b_l, G
 
 
+def _dot3(coeffs, cols):
+    """Sum of coeff*col over 3 terms, skipping structural zeros (None)."""
+    out = None
+    for c, v in zip(coeffs, cols):
+        if c is None or v is None:
+            continue
+        term = c * v
+        out = term if out is None else out + term
+    return out
+
+
+def _residual_jac_cols(cam: Camera, T_all: jax.Array, P_all: jax.Array,
+                       uv_obs: jax.Array):
+    """Column-major reprojection residual + Jacobians for the BA fast path.
+
+    Identical math to `jacobians.reprojection_residual_jac` (same contraction
+    order, validated bit-close in tests/test_backend_ba.py), but every
+    Jacobian entry is produced as a separate (M,) column instead of stacked
+    (M, 2, 6)/(M, 2, 3) blocks: the stacked blocks tile as T(2, 128) — the
+    trailing 6/3 lane-pads to 128 — so the per-observation Jacobians and the
+    outer-product blocks built from them cost ~0.8 ms/LM-iteration of pure
+    HBM traffic + layout copies at M=8192 (benchmarks/probe_ba_trace.py,
+    fusion.398/387/389 + copy.563-570). Columns keep the entire
+    residual->Jacobian->outer-product chain in fused (M,)-elementwise
+    kernels whose only materialized outputs are the flat block arrays.
+
+    Returns (r (M, 2), Jp_cols [12 x (M,)] row-major (a, i) -> a*6+i,
+    Jl_cols [6 x (M,)] (a, j) -> a*3+j, p_cam (M, 3)).
+    """
+    q = se3.se3_apply(T_all, P_all)
+    p_cam = se3.se3_apply(cam.pose, q)
+    X, Y, Z = p_cam[..., 0], p_cam[..., 1], p_cam[..., 2]
+    Zsafe = jnp.where(jnp.abs(Z) < 1e-8, 1e-8, Z)
+    inv_z = 1.0 / Zsafe
+    inv_z2 = inv_z * inv_z
+    u = cam.fx * X * inv_z + cam.cx
+    v = cam.fy * Y * inv_z + cam.cy
+    r = jnp.stack([u, v], axis=-1) - uv_obs
+
+    R_ext = se3.se3_R(cam.pose)            # (3, 3) scalar entries
+    qx, qy, qz = q[..., 0], q[..., 1], q[..., 2]
+    # Rdq columns: [R_ext | R_ext @ -hat(q)]  (d p_cam / d xi, 3 x 6)
+    rdq = [[R_ext[r_, i] for r_ in range(3)] for i in range(3)]
+    for col in ((None, -qz, qy), (qz, None, -qx), (-qy, qx, None)):
+        rdq.append([_dot3([R_ext[r_, 0], R_ext[r_, 1], R_ext[r_, 2]], col)
+                    for r_ in range(3)])
+    # J_proj rows (2 x 3); None marks structural zeros
+    jrow = [(cam.fx * inv_z, None, -cam.fx * X * inv_z2),
+            (None, cam.fy * inv_z, -cam.fy * Y * inv_z2)]
+    ones = jnp.ones_like(X)
+    Jp_cols = []
+    for a in range(2):
+        for i in range(6):
+            col = _dot3(jrow[a], rdq[i])
+            Jp_cols.append(col * ones if col.ndim < X.ndim else col)
+    # RT = R_ext @ R(T)  (d p_cam / d p_w), per-observation 3x3
+    R_T = T_all[..., :3, :3]
+    Jl_cols = []
+    rt = [[_dot3([R_ext[r_, 0], R_ext[r_, 1], R_ext[r_, 2]],
+                 [R_T[..., 0, c], R_T[..., 1, c], R_T[..., 2, c]])
+           for r_ in range(3)] for c in range(3)]
+    for a in range(2):
+        for c in range(3):
+            Jl_cols.append(_dot3(jrow[a], rt[c]))
+    return r, Jp_cols, Jl_cols, p_cam
+
+
+def _residuals_lr_cols(cam_left: Camera, cam_right: Camera,
+                       kf_pose: jax.Array, lm_pos: jax.Array,
+                       obs: BAObservations, lm_onehot: jax.Array):
+    """`_residuals_lr` in column form (flat Jacobians). Same [left; right]
+    static-half layout and one-hot landmark gather."""
+    M = obs.kf.shape[0]
+    h = M // 2
+    K = kf_pose.shape[0]
+    F = h // K
+    T_all = jnp.broadcast_to(kf_pose[None, :, None], (2, K, F, 3, 4)
+                             ).reshape(M, 3, 4)
+    P_all = jnp.einsum("ml,lc->mc", lm_onehot, lm_pos, precision=_PREC)
+
+    halves = []
+    for cam, sl in ((cam_left, slice(0, h)), (cam_right, slice(h, M))):
+        r, Jp, Jl, p_cam = _residual_jac_cols(cam, T_all[sl], P_all[sl],
+                                              obs.uv[sl])
+        halves.append((r, Jp, Jl, p_cam[..., 2] > 1e-6))
+    (rl, Jpl, Jll, fl), (rr, Jpr, Jlr, fr) = halves
+    r = jnp.concatenate([rl, rr], axis=0)
+    Jp_cols = [jnp.concatenate([a, b], axis=0) for a, b in zip(Jpl, Jpr)]
+    Jl_cols = [jnp.concatenate([a, b], axis=0) for a, b in zip(Jll, Jlr)]
+    return r, Jp_cols, Jl_cols, jnp.concatenate([fl, fr], axis=0)
+
+
+def _assemble_flat(r, Jp_cols, Jl_cols, w, O: jax.Array, K: int):
+    """`_assemble_onehot` on flat column Jacobians: the per-observation
+    outer-product blocks are built as column stacks — (M, 36)/(M, 18)/(M, 9)
+    in native (8, 128) tiling — instead of (M, 6, 6)-style tensors whose
+    trailing dims lane-pad ~6x (the three dominant fusions of the round-3 LM
+    iteration, ~0.5 ms/iteration; benchmarks/probe_ba_trace.py). Outputs are
+    identical shapes/values to `_assemble_onehot` (same contraction order
+    per element; only the layout of the intermediate differs)."""
+    M = r.shape[0]
+    F = M // (2 * K)
+    L = O.shape[1]
+    wJp = [w * c for c in Jp_cols]
+    wJl = [w * c for c in Jl_cols]
+    r0, r1 = r[:, 0], r[:, 1]
+
+    hpp = jnp.stack([wJp[b] * Jp_cols[c] + wJp[6 + b] * Jp_cols[6 + c]
+                     for b in range(6) for c in range(6)], axis=-1)
+    hll = jnp.stack([wJl[b] * Jl_cols[c] + wJl[3 + b] * Jl_cols[3 + c]
+                     for b in range(3) for c in range(3)], axis=-1)
+    g = jnp.stack([wJp[b] * Jl_cols[c] + wJp[6 + b] * Jl_cols[3 + c]
+                   for b in range(6) for c in range(3)], axis=-1)
+    bp = jnp.stack([wJp[b] * r0 + wJp[6 + b] * r1 for b in range(6)], axis=-1)
+    bl = jnp.stack([wJl[b] * r0 + wJl[3 + b] * r1 for b in range(3)], axis=-1)
+
+    H_pp = hpp.reshape(2, K, F, 36).sum(axis=(0, 2)).reshape(K, 6, 6)
+    b_p = bp.reshape(2, K, F, 6).sum(axis=(0, 2))
+    H_ll = jnp.einsum("ml,mq->lq", O, hll, precision=_PREC).reshape(L, 3, 3)
+    b_l = jnp.einsum("ml,mb->lb", O, bl, precision=_PREC)
+    G = jnp.einsum("ckfl,ckfq->lkq", O.reshape(2, K, F, L),
+                   g.reshape(2, K, F, 18), precision=_PREC).reshape(L, K, 6, 3)
+    return H_pp, b_p, H_ll, b_l, G
+
+
 def _inv3x3(A: jax.Array) -> jax.Array:
     """Batched closed-form 3x3 inverse (adjugate / det).
 
@@ -354,8 +479,12 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
          & obs_c.valid[:, None]).astype(dtype)
 
     def chi2_fn(kf_pose, lm_pos, o, lm_onehot=None):
-        r, _, _, in_front = _residuals_lr(cam_left, cam_right, kf_pose,
-                                          lm_pos, o, lm_onehot=lm_onehot)
+        if lm_onehot is not None:
+            r, _, _, in_front = _residuals_lr_cols(
+                cam_left, cam_right, kf_pose, lm_pos, o, lm_onehot)
+        else:
+            r, _, _, in_front = _residuals_lr(cam_left, cam_right, kf_pose,
+                                              lm_pos, o, lm_onehot=lm_onehot)
         c = jnp.sum(r * r, axis=-1)
         return jnp.where(o.valid & in_front, c, 0.0), in_front
 
@@ -366,13 +495,13 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
 
     def lm_step(_, carry):
         kf_pose, lm_pos, lam = carry
-        r, J_pose, J_point, in_front = _residuals_lr(
-            cam_left, cam_right, kf_pose, lm_pos, obs_c, lm_onehot=O)
+        r, Jp_cols, Jl_cols, in_front = _residuals_lr_cols(
+            cam_left, cam_right, kf_pose, lm_pos, obs_c, O)
         c = jnp.sum(r * r, axis=-1)
         w = jacobians.huber_weight(c, huber_d2)
         w = jnp.where(obs_c.valid & in_front, w, 0.0)
-        H_pp, b_p, H_ll, b_l, G = _assemble_onehot(r, J_pose, J_point, w,
-                                                   O, K)
+        H_pp, b_p, H_ll, b_l, G = _assemble_flat(r, Jp_cols, Jl_cols, w,
+                                                 O, K)
         dx_p, dx_l = schur_solve(H_pp, b_p, H_ll, b_l, G, lam,
                                  kf_free, lm_active_c)
         kf_new = se3.se3_compose(se3.se3_exp(dx_p), kf_pose)

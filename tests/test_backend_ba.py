@@ -154,3 +154,41 @@ def test_ba_landmark_positions_improve():
     after = float(jnp.mean(jnp.linalg.norm(
         m2.lm_pos[lm_slots] - lms_gt, axis=-1)))
     assert after < before * 0.1, f"lm err before {before:.3f} after {after:.3f}"
+
+
+def test_flat_assembly_matches_stacked():
+    """The flat-column fast path (_residuals_lr_cols + _assemble_flat) must
+    reproduce the stacked reference path (_residuals_lr + _assemble_onehot)
+    bit-close: same contraction orders, only intermediate layouts differ."""
+    from stereovision_slam_tpu.slam.backend import (
+        _assemble_flat, _assemble_onehot, _residuals_lr, _residuals_lr_cols)
+    m, poses_gt, lms_gt, lm_slots, cams = build_window(
+        seed=3, px_noise=0.3, n_bad_obs=4)
+    left, right = cams
+    obs = flatten_observations(m)
+    L = m.lm_valid.shape[0]
+    Kw = m.obs_lm.shape[0]
+    O = ((obs.lm[:, None] == jnp.arange(L, dtype=jnp.int32)[None, :])
+         & obs.valid[:, None]).astype(jnp.float32)
+
+    r0, Jp0, Jl0, f0 = _residuals_lr(left, right, m.kf_pose, m.lm_pos, obs,
+                                     lm_onehot=O)
+    r1, Jp1c, Jl1c, f1 = _residuals_lr_cols(left, right, m.kf_pose, m.lm_pos,
+                                            obs, O)
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                               rtol=1e-6, atol=1e-5)
+    assert bool(jnp.all(f0 == f1))
+    Jp1 = jnp.stack(Jp1c, axis=-1).reshape(-1, 2, 6)
+    Jl1 = jnp.stack(Jl1c, axis=-1).reshape(-1, 2, 3)
+    np.testing.assert_allclose(np.asarray(Jp1), np.asarray(Jp0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Jl1), np.asarray(Jl0),
+                               rtol=1e-5, atol=1e-5)
+
+    w = jnp.where(obs.valid & f0, 1.0, 0.0) * jacobians.huber_weight(
+        jnp.sum(r0 * r0, axis=-1), jnp.asarray(5.991**2))
+    ref = _assemble_onehot(r0, Jp0, Jl0, w, O, Kw)
+    got = _assemble_flat(r1, Jp1c, Jl1c, w, O, Kw)
+    for a, b, name in zip(got, ref, ("H_pp", "b_p", "H_ll", "b_l", "G")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4, err_msg=name)
