@@ -100,26 +100,31 @@ def compute(img: jax.Array, pts: jax.Array, valid: jax.Array | None = None,
     x0, y0 = rot(px0, py0)
     x1, y1 = rot(px1, py1)
 
-    # sample both endpoints of each pair via one patch per keypoint
+    # sample both endpoints of each pair via one patch per keypoint.
+    # NEAREST sampling, like cv::ORB's GET_VALUE (orb.cpp uses cvRound on the
+    # rotated offsets — not bilinear), realized as two one-hot contractions
+    # with the 2*N_BITS sample axis in the LANE dimension: the previous
+    # per-tap fancy-indexed bilinear lowered to 8 batched gather ops costing
+    # ~5.9 ms per keyframe on the TPU runtime (round-4 slope probe) vs
+    # ~0.2 ms for the one-hot form.
     patches, pv2 = imops.sample_patches(smooth, pts, PATCH + 2)
     half = (PATCH + 1) / 2.0
-
-    def bilinear(patch, xs, ys):
-        xs = jnp.clip(xs + half, 0.0, PATCH)
-        ys = jnp.clip(ys + half, 0.0, PATCH)
-        x0i = jnp.floor(xs).astype(jnp.int32)
-        y0i = jnp.floor(ys).astype(jnp.int32)
-        fx = xs - x0i
-        fy = ys - y0i
-        v00 = patch[y0i, x0i]
-        v01 = patch[y0i, x0i + 1]
-        v10 = patch[y0i + 1, x0i]
-        v11 = patch[y0i + 1, x0i + 1]
-        return ((1 - fy) * (1 - fx) * v00 + (1 - fy) * fx * v01
-                + fy * (1 - fx) * v10 + fy * fx * v11)
-
-    va = jax.vmap(bilinear)(patches, x0, y0)   # (N, N_BITS)
-    vb = jax.vmap(bilinear)(patches, x1, y1)
+    P2 = PATCH + 2                              # patch side (33)
+    S2 = 2 * N_BITS
+    xs = jnp.concatenate([x0, x1], axis=1)      # (N, 2*N_BITS)
+    ys = jnp.concatenate([y0, y1], axis=1)
+    xi = jnp.clip(jnp.round(xs + half).astype(jnp.int32), 0, P2 - 1)
+    yi = jnp.clip(jnp.round(ys + half).astype(jnp.int32), 0, P2 - 1)
+    dt = patches.dtype
+    rsel = (jax.lax.broadcasted_iota(jnp.int32, (n, P2, S2), 1)
+            == yi[:, None, :]).astype(dt)       # (N, P2, S2)
+    rows = jnp.einsum("nps,npq->nqs", rsel, patches,
+                      precision=jax.lax.Precision.HIGHEST)
+    csel = (jax.lax.broadcasted_iota(jnp.int32, (n, P2, S2), 1)
+            == xi[:, None, :]).astype(dt)
+    vals = jnp.einsum("nqs,nqs->ns", rows, csel,
+                      precision=jax.lax.Precision.HIGHEST)
+    va, vb = vals[:, :N_BITS], vals[:, N_BITS:]
     bits = (va < vb).astype(jnp.uint32)        # (N, N_BITS)
 
     shifts = jnp.arange(32, dtype=jnp.uint32)

@@ -100,7 +100,8 @@ def batched_staggered_step(fs, ms, arc, kf_count, left_img, right_img,
         right_pyr = tuple(lv[1] for lv in both)
         fs2, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
                                              right_pyr, cam_right,
-                                             chi2_th=chi2_th)
+                                             chi2_th=chi2_th,
+                                             pose_impl="xla")
         return fs2, n_in, n_tracked, right_pyr
 
     fs, n_in, n_tracked, right_pyrs = jax.vmap(track_one, in_axes=(0, 0, 0, 0))(

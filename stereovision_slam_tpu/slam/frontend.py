@@ -93,13 +93,14 @@ def _stack_levels(*pyramids):
 
 @partial(jax.jit, static_argnames=("chi2_th", "rounds", "iters",
                                    "anchored", "multi_start", "fused_tracks",
-                                   "lk_iters"))
+                                   "lk_iters", "pose_impl"))
 def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
                cam_left: Camera, cur_right_pyr: tuple = None,
                cam_right: Camera = None, chi2_th: float = 5.991,
                rounds: int = 4, iters: int = 10,
                anchored: bool = True, multi_start: bool = True,
-               fused_tracks: bool = True, lk_iters: int = 30):
+               fused_tracks: bool = True, lk_iters: int = 30,
+               pose_impl: str | None = None):
     """Track last-frame features into the current frame and solve the pose.
 
     One fused device program for the reference's Track() path
@@ -204,15 +205,30 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
 
     use = tracked & linked
 
+    if pose_impl is None:
+        # the fused Pallas LM solver replaces ~1.3 ms of sequential small-op
+        # latency with a ~0.03 ms kernel (44x, measured v5e; see
+        # ops/pose_pallas.py). CPU keeps the XLA path (fast compiles, and the
+        # kernel is interpret-only there); the vmapped serving path passes
+        # "xla" explicitly (slam/batched.py).
+        pose_impl = "pallas" if jax.default_backend() != "cpu" else "xla"
     if stereo:
         use_r = use & status_r
-        cam_obs = _blend_obs_cameras(cam_left, cam_right, F, F)
-        pts2 = jnp.concatenate([lm_pos, lm_pos], axis=0)
-        obs2 = jnp.concatenate([cur_uv, uv_r], axis=0)
-        valid2 = jnp.concatenate([use, use_r], axis=0)
-        T_new, inlier2, _ = solve_pose_multi(
-            cam_obs, T_inits, pts2, obs2, valid2, chi2_th=chi2_th,
-            rounds=rounds, iters=iters)
+        if pose_impl in ("pallas", "interpret"):
+            from stereovision_slam_tpu.ops.pose_pallas import \
+                solve_pose_multi_lr
+            T_new, inlier2, _ = solve_pose_multi_lr(
+                cam_left, cam_right, T_inits, lm_pos, cur_uv, uv_r,
+                use, use_r, chi2_th=chi2_th, rounds=rounds, iters=iters,
+                interpret=(pose_impl == "interpret"))
+        else:
+            cam_obs = _blend_obs_cameras(cam_left, cam_right, F, F)
+            pts2 = jnp.concatenate([lm_pos, lm_pos], axis=0)
+            obs2 = jnp.concatenate([cur_uv, uv_r], axis=0)
+            valid2 = jnp.concatenate([use, use_r], axis=0)
+            T_new, inlier2, _ = solve_pose_multi(
+                cam_obs, T_inits, pts2, obs2, valid2, chi2_th=chi2_th,
+                rounds=rounds, iters=iters)
         inlier = inlier2[:F]
         num_inliers = jnp.sum(inlier).astype(jnp.int32)
     else:

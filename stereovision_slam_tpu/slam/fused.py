@@ -143,7 +143,7 @@ def _pack_drain_impl(arc: ArchiveState, ms, out_buf, ls=None, *,
     )
     if ls is not None:
         out.update(loop_i=ls.loop_i[:ep], loop_j=ls.loop_j[:ep],
-                   loop_rel=ls.loop_rel[:ep])
+                   loop_rel=ls.loop_rel[:ep], loop_info=ls.loop_info[:ep])
     return out
 
 
@@ -303,9 +303,13 @@ def _fused_step_impl(fs: fe.FrontendState, ms: mapmod.MapState,
             if kf_hook is not None:
                 # keyframe-rate extension point (device-side loop closure,
                 # slam/fused_loop.py): may correct poses/landmarks, so it
-                # runs after BA and before the archive update
+                # runs after BA and before the archive update. `arc` (pre-
+                # update this step) lets the hook read final post-BA values
+                # for long-evicted keyframes/landmarks — the reference's
+                # loop PnP reads the LIVE map (mp->Pos(),
+                # loopclosure.cpp:337-366), not an insertion-time snapshot
                 fs2, ms2, hook_state = kf_hook(hook_state, fs2, ms2, pyr,
-                                               frame_id, kf_id)
+                                               frame_id, kf_id, arc)
             arc2 = _archive_eviction(arc, ev)
             # record/refresh the new keyframe in the archive
             Tmax = arc2.kf_pose.shape[0]

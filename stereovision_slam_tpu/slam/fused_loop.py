@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from stereovision_slam_tpu.geometry import se3
+from stereovision_slam_tpu.geometry import jacobians, se3
 from stereovision_slam_tpu.models import mobilenet_v2 as mnv2
 from stereovision_slam_tpu.ops import descriptors, matching
 from stereovision_slam_tpu.slam import fused
@@ -68,6 +68,8 @@ class LoopState(NamedTuple):
     loop_i: jax.Array       # (E,) current keyframe id
     loop_j: jax.Array       # (E,) loop keyframe id
     loop_rel: jax.Array     # (E, 3, 4) corrected T_i * T_j^-1
+    loop_info: jax.Array    # (E, 6, 6) normalized PnP information per edge
+    #                         (see pose_graph.PoseGraph.edge_info)
     n_loops: jax.Array      # () int32
     last_closed: jax.Array  # () int32 kf id, -1 = never
     last_score: jax.Array   # () f32 — latest deep-similarity score
@@ -93,6 +95,8 @@ def empty_loop_state(Tmax: int, F: int, max_loop_edges: int = 512,
         loop_i=jnp.full((max_loop_edges,), -1, jnp.int32),
         loop_j=jnp.full((max_loop_edges,), -1, jnp.int32),
         loop_rel=jnp.zeros((max_loop_edges, 3, 4), dtype),
+        loop_info=jnp.tile(jnp.eye(6, dtype=dtype)[None],
+                           (max_loop_edges, 1, 1)),
         n_loops=jnp.asarray(0, jnp.int32),
         last_closed=jnp.asarray(-1, jnp.int32),
         last_score=jnp.asarray(0.0, dtype),
@@ -100,7 +104,7 @@ def empty_loop_state(Tmax: int, F: int, max_loop_edges: int = 512,
     )
 
 
-def _loop_hook(ls: LoopState, fs, ms, pyr, frame_id, kf_id, *,
+def _loop_hook(ls: LoopState, fs, ms, pyr, frame_id, kf_id, arc, *,
                cam_left, mnv2_params, skip: int, cooldown: int,
                strong: float, weak: float, max_weak: int, min_match: int,
                min_pose_diff: float, max_pose_diff: float,
@@ -141,16 +145,45 @@ def _loop_hook(ls: LoopState, fs, ms, pyr, frame_id, kf_id, *,
         cand_lm_has = ls.db_lm_has[best]
         idx, dist, good = matching.match(cand_desc, cand_ok, desc, desc_ok)
         usable = good & cand_lm_has
+
+        # The candidate's landmarks/pose are the INSERTION-TIME snapshots,
+        # deliberately NOT refreshed from the live map (the reference reads
+        # mp->Pos()/Pose() live, loopclosure.cpp:337-366): measured on the
+        # bench circuit, the snapshot pair is self-consistent (landmarks
+        # reproject into the candidate's frame at 0.03 px median) and gives
+        # a ~2x better loop pose than live/archived values — BA "refines"
+        # early landmarks INTO the drifted frame of later windows, moving
+        # them away from the world frame the candidate's pose defines
+        # (0.21 m vs 0.47 m loop-pose error; /tmp round-4 decomposition,
+        # docs/ROUND4_NOTES.md).
+        cand_pos = ls.db_lm_pos[best]
+        cand_pose = ls.db_pose[best]
         n_match = jnp.sum(usable)
 
         # PnP RANSAC: candidate landmarks vs current pixels (:328-437)
         T_corr, inl, n_in = pnp_ransac(
-            cam_left, ls.db_lm_pos[best], fs.feat_uv[jnp.clip(idx, 0)],
+            cam_left, cand_pos, fs.feat_uv[jnp.clip(idx, 0)],
             usable, jax.random.PRNGKey(kf_id),
             reproj_threshold=5.991, num_hypotheses=num_hypotheses)
 
-        loop_rel = se3.se3_compose(
-            T_corr, se3.se3_inverse(ls.db_pose[best]))
+        loop_rel = se3.se3_compose(T_corr, se3.se3_inverse(cand_pose))
+
+        # information matrix of the loop measurement: the PnP solve's
+        # Gauss-Newton Hessian over the final inliers (unit pixel noise),
+        # normalized so its largest eigenvalue is 1 — i.e. the edge's
+        # best-observed direction gets exactly the odometry-edge weight and
+        # near-blind directions get ~0 (see pose_graph.PoseGraph.edge_info)
+        _, J_pnp, _, p_cam_pnp = jacobians.reprojection_residual_jac(
+            cam_left, T_corr, cand_pos, fs.feat_uv[jnp.clip(idx, 0)])
+        w_pnp = (inl & (p_cam_pnp[..., 2] > 1e-6)).astype(J_pnp.dtype)
+        H_pnp = jnp.einsum("nab,nac,n->bc", J_pnp, J_pnp, w_pnp,
+                           precision=jax.lax.Precision.HIGHEST)
+        v = jnp.ones((6,), H_pnp.dtype)
+        for _ in range(8):  # power iteration for lambda_max
+            v = H_pnp @ v
+            v = v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+        lam_max = jnp.maximum(v @ (H_pnp @ v), 1e-12)
+        info = H_pnp / lam_max
         pose_diff = se3.se3_distance(fs.T_cur, T_corr)
         accept = ((n_match >= min_match) & (n_in >= min_match)
                   & (jnp.linalg.norm(se3.se3_log(loop_rel)) <= max_loop_dist)
@@ -165,6 +198,7 @@ def _loop_hook(ls: LoopState, fs, ms, pyr, frame_id, kf_id, *,
             loop_i=ls.loop_i.at[e].set(kf_id.astype(jnp.int32), mode="drop"),
             loop_j=ls.loop_j.at[e].set(best.astype(jnp.int32), mode="drop"),
             loop_rel=ls.loop_rel.at[e].set(loop_rel, mode="drop"),
+            loop_info=ls.loop_info.at[e].set(info, mode="drop"),
             n_loops=ls.n_loops + accept.astype(jnp.int32),
             last_closed=jnp.where(accept, kf_id.astype(jnp.int32),
                                   ls.last_closed),
@@ -187,7 +221,7 @@ def _loop_hook(ls: LoopState, fs, ms, pyr, frame_id, kf_id, *,
             kf_slot = jnp.argmax(jnp.where(ms.kf_valid, ms.kf_id, -1))
             ms, new_feat_lm = mapmod.merge_loop_landmarks(
                 ms, fs.feat_lm, fs.feat_valid, kf_slot, idx,
-                usable & inl, ls.db_lm_pos[best], ls.db_lm_id[best],
+                usable & inl, cand_pos, ls.db_lm_id[best],
                 ls.db_lm_first[best])
             return fs._replace(feat_lm=new_feat_lm), ms
 
@@ -331,6 +365,7 @@ class LoopEdgeRecord(NamedTuple):
     kf_id: int
     loop_kf_id: int
     relative_pose: np.ndarray
+    info: np.ndarray = None  # (6, 6) normalized PnP information
 
 
 class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
@@ -435,9 +470,10 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         device traffic after the first drain-family call)."""
         d = self._device_drain()
         n = d["n_loops"]
-        return [LoopEdgeRecord(int(a), int(b), r)
-                for a, b, r in zip(d["loop_i"][:n], d["loop_j"][:n],
-                                   d["loop_rel"][:n])]
+        return [LoopEdgeRecord(int(a), int(b), r, w)
+                for a, b, r, w in zip(d["loop_i"][:n], d["loop_j"][:n],
+                                      d["loop_rel"][:n],
+                                      d["loop_info"][:n])]
 
     def run_pgo(self, iters: int = 22):
         """Global pose-graph optimization over the full trajectory
@@ -492,7 +528,8 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
             R = Ra @ Rb.T
             return np.concatenate([R, (ta - R @ tb)[:, None]], axis=1)
 
-        ei, ej, meas = [], [], []
+        ei, ej, meas, infos = [], [], [], []
+        eye6 = np.eye(6, dtype=np.float32)
         for k_prev, k in zip(kf_ids, kf_ids[1:]):
             if k == k_prev + 1 and k < rel_tab.shape[0]:
                 meas.append(rel_tab[k])
@@ -502,11 +539,17 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
                                               np.float32)))
             ei.append(slot_of[k])
             ej.append(slot_of[k_prev])
+            infos.append(eye6)  # odometry: unit information (reference)
         for e in edges:
             if e.kf_id in slot_of and e.loop_kf_id in slot_of:
                 ei.append(slot_of[e.kf_id])
                 ej.append(slot_of[e.loop_kf_id])
                 meas.append(e.relative_pose)
+                # loop edges: the PnP solve's normalized information — the
+                # edge constrains only the directions the PnP actually
+                # observed (pose_graph.PoseGraph.edge_info)
+                infos.append(np.asarray(e.info, np.float32)
+                             if e.info is not None else eye6)
         # pad poses/edges to shape buckets: optimize_pose_graph is jitted,
         # and exact (T, E) shapes differ between runs — unpadded, every run
         # pays a fresh multi-second remote compile of the PGO program
@@ -522,13 +565,16 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         meas_p = np.zeros((Ep, 3, 4), np.float32)
         meas_p[:E] = np.stack(meas)
         meas_p[E:, :, :3] = np.eye(3, dtype=np.float32)
+        info_p = np.tile(eye6[None], (Ep, 1, 1))
+        info_p[:E] = np.stack(infos)
         g = PoseGraph(
             poses=jnp.asarray(poses_p),
             pose_valid=jnp.asarray(np.arange(Tp) < T),
             edge_i=jnp.asarray(np.pad(np.asarray(ei, np.int32), (0, Ep - E))),
             edge_j=jnp.asarray(np.pad(np.asarray(ej, np.int32), (0, Ep - E))),
             edge_meas=jnp.asarray(meas_p),
-            edge_valid=jnp.asarray(np.arange(Ep) < E))
+            edge_valid=jnp.asarray(np.arange(Ep) < E),
+            edge_info=jnp.asarray(info_p))
         t = tick("graph build", t)
         new_poses = np.asarray(optimize_pose_graph(g, iters=iters))[:T]
         t = tick("optimize", t)

@@ -38,6 +38,16 @@ class PoseGraph(NamedTuple):
     edge_j: jax.Array     # (E,) second vertex index
     edge_meas: jax.Array  # (E, 3, 4) measured T_i * T_j^-1
     edge_valid: jax.Array # (E,)
+    edge_info: jax.Array | None = None  # (E, 6, 6) information matrices;
+    #   None = identity everywhere (the reference's setting,
+    #   loopclosure.cpp:728/748). Loop edges carry the PnP solve's
+    #   NORMALIZED Hessian instead: a PnP pose from few, distant
+    #   correspondences is near-unobservable along some tangent directions
+    #   (measured: 19 inliers fitting <=1.5 px while the pose is 0.21 m off
+    #   along the weak direction), and an identity-weighted edge pushes the
+    #   whole trajectory into exactly that null space — the round-3 post-PGO
+    #   ATE degradation. With info = H_pnp / lambda_max, the edge constrains
+    #   the measured directions at odometry weight and the blind ones at ~0.
 
 
 def _edge_residual(Ti, Tj, meas):
@@ -62,6 +72,15 @@ def _linearize(g: PoseGraph):
     Tj = g.poses[g.edge_j]
     r = jax.vmap(_edge_residual)(Ti, Tj, g.edge_meas)          # (E, 6)
     Ji, Jj = jax.vmap(_edge_jacobians)(Ti, Tj, g.edge_meas)    # (E, 6, 6)
+    if g.edge_info is not None:
+        # whiten per edge: r' = L^T r, J' = L^T J with info = L L^T, so the
+        # unweighted normal equations below realize sum J^T info J / r^T
+        # info r exactly; identity info rows pass through unchanged
+        L = jnp.linalg.cholesky(
+            g.edge_info + 1e-9 * jnp.eye(6, dtype=r.dtype))
+        r = jnp.einsum("eba,eb->ea", L, r, precision=_PREC)
+        Ji = jnp.einsum("eba,ebc->eac", L, Ji, precision=_PREC)
+        Jj = jnp.einsum("eba,ebc->eac", L, Jj, precision=_PREC)
     w = g.edge_valid.astype(r.dtype)
     return r * w[:, None], Ji * w[:, None, None], Jj * w[:, None, None]
 
