@@ -62,9 +62,19 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     (tmpl, gx, gy), tmpl_ok = imops.sample_patches_multi(
         jnp.stack([prev_img, ix, iy]), prev_pts, win_size)
 
-    gxx = jnp.sum(gx * gx, axis=(1, 2))
-    gxy = jnp.sum(gx * gy, axis=(1, 2))
-    gyy = jnp.sum(gy * gy, axis=(1, 2))
+    # FLAT (N, win*win) copies for every reduction below: (N, 11, 11)
+    # tensors tile as T(8,128) with the trailing 11 lane-padded to 128, so
+    # each per-iteration bx/by reduce read ~10x its logical bytes (~18 us
+    # per op on the chip, ~0.85 ms/step across levels — round-4 trace);
+    # flat layouts pad 121 -> 128 only (~6%)
+    N_pts = prev_pts.shape[0]
+    tmpl_f = tmpl.reshape(N_pts, -1)
+    gx_f = gx.reshape(N_pts, -1)
+    gy_f = gy.reshape(N_pts, -1)
+
+    gxx = jnp.sum(gx_f * gx_f, axis=1)
+    gxy = jnp.sum(gx_f * gy_f, axis=1)
+    gyy = jnp.sum(gy_f * gy_f, axis=1)
     det = gxx * gyy - gxy * gxy
     tr_half = 0.5 * (gxx + gyy)
     min_eig = (tr_half - jnp.sqrt(jnp.maximum(tr_half * tr_half - det, 0.0)))
@@ -123,9 +133,9 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     def body(carry):
         it, pts, frozen, left_win = carry
         cur, inb, in_win = sample_cur(pts)
-        diff = cur - tmpl
-        bx = jnp.sum(diff * gx, axis=(1, 2))
-        by = jnp.sum(diff * gy, axis=(1, 2))
+        diff = cur.reshape(N_pts, -1) - tmpl_f
+        bx = jnp.sum(diff * gx_f, axis=1)
+        by = jnp.sum(diff * gy_f, axis=1)
         # solve G d = b with G = [[gxx, gxy], [gxy, gyy]]
         dx = (gyy * bx - gxy * by) / det_safe
         dy = (gxx * by - gxy * bx) / det_safe

@@ -147,9 +147,65 @@ def _pack_drain_impl(arc: ArchiveState, ms, out_buf, ls=None, *,
     return out
 
 
-_pack_drain = partial(jax.jit,
-                      static_argnames=("kp", "lp", "fp", "ep"))(
-                          _pack_drain_impl)
+def _flatten_to_words(out: dict) -> jax.Array:
+    """Concatenate every drain leaf into ONE uint32 vector (bitcast, no
+    value conversion except bool->u32 and f16 pairs packed 2-per-word).
+
+    `jax.device_get` of a pytree issues one transfer PER LEAF on this
+    runtime (measured: a 24-leaf pull costs ~4x one leaf of the same total
+    bytes — each leaf pays the tunnel round trip). The drain therefore
+    ships as a single word buffer; `_unflatten_words` reverses this on the
+    host using the jax.eval_shape spec of `_pack_drain_impl`."""
+    parts = []
+    for k in sorted(out):
+        v = out[k]
+        if v.dtype == jnp.bool_:
+            v = v.astype(jnp.uint32).reshape(-1)
+        elif v.dtype == jnp.float16:
+            v = v.reshape(-1)
+            if v.shape[0] % 2:
+                v = jnp.concatenate([v, jnp.zeros((1,), jnp.float16)])
+            v = lax.bitcast_convert_type(v.reshape(-1, 2), jnp.uint32)
+        else:
+            v = lax.bitcast_convert_type(v.reshape(-1), jnp.uint32)
+        parts.append(v.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def _words_len(spec_leaf) -> int:
+    n = int(np.prod(spec_leaf.shape)) if spec_leaf.shape else 1
+    if spec_leaf.dtype == jnp.float16:
+        return (n + 1) // 2
+    return n
+
+
+def _unflatten_words(words: np.ndarray, spec: dict) -> dict:
+    out = {}
+    off = 0
+    for k in sorted(spec):
+        sl = spec[k]
+        nw = _words_len(sl)
+        chunk = words[off:off + nw]
+        off += nw
+        n = int(np.prod(sl.shape)) if sl.shape else 1
+        if sl.dtype == jnp.bool_:
+            arr = chunk.astype(bool)
+        elif sl.dtype == jnp.float16:
+            arr = chunk.view(np.float16)[:n]
+        else:
+            arr = chunk.view(np.dtype(sl.dtype.name))
+        out[k] = arr.reshape(sl.shape)
+    return out
+
+
+def _pack_drain_words_impl(arc, ms, out_buf, ls=None, *, kp, lp, fp, ep=0):
+    return _flatten_to_words(_pack_drain_impl(arc, ms, out_buf, ls,
+                                              kp=kp, lp=lp, fp=fp, ep=ep))
+
+
+_pack_drain_words = partial(jax.jit,
+                            static_argnames=("kp", "lp", "fp", "ep"))(
+                                _pack_drain_words_impl)
 
 
 def _archive_eviction(arc: ArchiveState, ev: mapmod.EvictedKeyframe) -> ArchiveState:
@@ -718,8 +774,14 @@ class FusedVisualOdometry:
         return (self.kf_count, self.ms.next_lm_id)
 
     def _pack_device(self, kp: int, lp: int, fp: int, counts):
-        return _pack_drain(self.arc, self.ms, self.out_buf, None,
-                           kp=kp, lp=lp, fp=fp)
+        return _pack_drain_words(self.arc, self.ms, self.out_buf, None,
+                                 kp=kp, lp=lp, fp=fp)
+
+    def _pack_spec(self, kp: int, lp: int, fp: int, counts) -> dict:
+        """Host-side leaf spec of the packed drain (shapes/dtypes only)."""
+        return jax.eval_shape(
+            partial(_pack_drain_impl, kp=kp, lp=lp, fp=fp),
+            self.arc, self.ms, self.out_buf, None)
 
     def _device_drain(self) -> dict:
         """Pull the complete drain payload in TWO transfers: one tiny
@@ -738,7 +800,8 @@ class FusedVisualOdometry:
         kp = min(self.Tmax, _round_up(max(n_kf, 1), 64))
         lp = min(self.Lmax, _round_up(max(n_lm, 1), 512))
         fp = min(self.Fmax, _round_up(max(key, 1), 256))
-        d = jax.device_get(self._pack_device(kp, lp, fp, counts))
+        words = jax.device_get(self._pack_device(kp, lp, fp, counts))
+        d = _unflatten_words(words, self._pack_spec(kp, lp, fp, counts))
         d["n_kf"] = n_kf
         d["n_lm"] = n_lm
         d["n_frames"] = key

@@ -462,8 +462,15 @@ class FusedLoopVisualOdometry(fused.FusedVisualOdometry):
         # rounded edge prefix: the pack program's shapes recur across runs
         ep = min(self.ls.loop_i.shape[0],
                  fused._round_up(max(counts[2], 1), 16))
-        return fused._pack_drain(self.arc, self.ms, self.out_buf, self.ls,
-                                 kp=kp, lp=lp, fp=fp, ep=ep)
+        return fused._pack_drain_words(self.arc, self.ms, self.out_buf,
+                                       self.ls, kp=kp, lp=lp, fp=fp, ep=ep)
+
+    def _pack_spec(self, kp: int, lp: int, fp: int, counts) -> dict:
+        ep = min(self.ls.loop_i.shape[0],
+                 fused._round_up(max(counts[2], 1), 16))
+        return jax.eval_shape(
+            partial(fused._pack_drain_impl, kp=kp, lp=lp, fp=fp, ep=ep),
+            self.arc, self.ms, self.out_buf, self.ls)
 
     def loop_edges(self) -> list[LoopEdgeRecord]:
         """The device edge log, from the shared packed drain (no extra
