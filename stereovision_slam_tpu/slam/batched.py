@@ -60,7 +60,8 @@ def batched_fused_step(fs, ms, arc, kf_count, left_img, right_img,
 _STAGGER_STATICS = (
     "num_levels", "num_features", "min_distance", "quality_level",
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
-    "backend_on", "ba_iters", "detector", "ba_max_active", "m")
+    "backend_on", "ba_iters", "detector", "ba_max_active", "m",
+    "lk_iters", "pose_rounds", "pose_iters")
 
 
 @partial(jax.jit, static_argnames=_STAGGER_STATICS,
@@ -71,7 +72,8 @@ def batched_staggered_step(fs, ms, arc, kf_count, left_img, right_img,
                            quality_level=0.01, max_depth=300.0, num_active=10,
                            kf_threshold=80, bad_threshold=20, chi2_th=5.991,
                            backend_on=True, ba_iters=10, detector="gftt",
-                           ba_max_active=None, m=1):
+                           ba_max_active=None, m=1, lk_iters=30,
+                           pose_rounds=4, pose_iters=10):
     """Advance B streams one frame with a STAGGERED keyframe branch.
 
     Under vmap every per-lane `lax.cond` lowers to both-branches + select,
@@ -101,7 +103,9 @@ def batched_staggered_step(fs, ms, arc, kf_count, left_img, right_img,
         fs2, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
                                              right_pyr, cam_right,
                                              chi2_th=chi2_th,
-                                             pose_impl="xla")
+                                             rounds=pose_rounds,
+                                             iters=pose_iters,
+                                             lk_iters=lk_iters)
         return fs2, n_in, n_tracked, right_pyr
 
     fs, n_in, n_tracked, right_pyrs = jax.vmap(track_one, in_axes=(0, 0, 0, 0))(
@@ -132,7 +136,8 @@ def batched_staggered_step(fs, ms, arc, kf_count, left_img, right_img,
                 fs, ms, right_pyr, cam_left, cam_right, fid, kf_id,
                 num_features=num_features, min_distance=min_distance,
                 quality_level=quality_level, max_depth=max_depth,
-                num_active=num_active, detect_all=False, detector=detector)
+                num_active=num_active, detect_all=False, detector=detector,
+                lk_iters=lk_iters)
             if backend_on:
                 ms2, _ = optimize_window(ms2, cam_left, cam_right,
                                          chi2_th=chi2_th, iters=ba_iters,
@@ -333,7 +338,10 @@ class BatchedFusedVisualOdometry:
                     ba_iters=cfg.ba_lm_iters,
                     detector=cfg.keypoint_feature_detector.lower(),
                     ba_max_active=cfg.ba_max_active_landmarks or None,
-                    m=self.B // self.kf_stagger)
+                    m=self.B // self.kf_stagger,
+                    lk_iters=cfg.lk_max_iters,
+                    pose_rounds=cfg.pose_rounds,
+                    pose_iters=cfg.pose_iters_per_round)
         else:
             self.fs, self.ms, self.arc, self.kf_count, out = batched_fused_step(
                 self.fs, self.ms, self.arc, self.kf_count,
