@@ -214,12 +214,20 @@ def _value_noise(x: jax.Array, z: jax.Array, octaves=4, base_scale=0.7):
     return total / 2.1
 
 
-@partial(jax.jit, static_argnames=("H", "W"))
+@partial(jax.jit, static_argnames=("H", "W", "wall_symmetry"))
 def render_textured_view_cylinder(cam_params, T_cw, H, W, ground_y=1.7,
-                                  center_x=0.0, center_z=0.0, radius=30.0):
+                                  center_x=0.0, center_z=0.0, radius=30.0,
+                                  wall_symmetry: int = 0):
     """Raycast variant for loop-closure scenarios: textured ground plane
     inside a textured cylinder wall — a closed arena, so a circular
-    trajectory revisits identical views."""
+    trajectory revisits identical views.
+
+    `wall_symmetry=k` makes the wall's LOW-frequency texture repeat k times
+    around the cylinder while keeping a unique high-frequency component:
+    a global-pooled place embedding (thumbnail / MobileNet) aliases between
+    the k look-alike sectors, but fine ORB detail still distinguishes them
+    — the perceptual-aliasing adversarial scenario (a false candidate must
+    die at the match/PnP gates, loopclosure.cpp:286-437)."""
     fx, fy, cx, cy = cam_params
     yy, xx = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32),
                           jnp.arange(W, dtype=jnp.float32), indexing="ij")
@@ -263,8 +271,17 @@ def render_textured_view_cylinder(cam_params, T_cw, H, W, ground_y=1.7,
     ground_val = 40.0 + 190.0 * ground * (0.35 + 0.65 * shade)
     # wall texture by unrolled angle + height (world-fixed)
     ang = jnp.arctan2(px - center_x, pz - center_z)
-    wall = _value_noise(ang * radius * 0.8, py * 1.6, octaves=5,
-                        base_scale=0.8)
+    if wall_symmetry:
+        period = 2.0 * np.pi / wall_symmetry
+        ang_s = jnp.mod(ang, period)
+        low = _value_noise(ang_s * radius * 0.8, py * 1.6, octaves=3,
+                           base_scale=0.35)
+        fine = _value_noise(ang * radius * 0.8 + 37.0, py * 1.6, octaves=2,
+                            base_scale=3.2)
+        wall = 0.78 * low + 0.22 * fine
+    else:
+        wall = _value_noise(ang * radius * 0.8, py * 1.6, octaves=5,
+                            base_scale=0.8)
     wall_val = 55.0 + 170.0 * wall * (0.4 + 0.6 * shade)
 
     sky_val = 120.0
@@ -274,7 +291,8 @@ def render_textured_view_cylinder(cam_params, T_cw, H, W, ground_y=1.7,
 
 
 def render_arena_stereo_sequence(poses, H=188, W=620, rig=None,
-                                 center=(0.0, 10.0), radius=30.0):
+                                 center=(0.0, 10.0), radius=30.0,
+                                 wall_symmetry: int = 0):
     """Cylindrical-arena stereo sequence (loop-closure scenarios)."""
     if rig is None:
         rig = make_stereo_rig()
@@ -290,11 +308,13 @@ def render_arena_stereo_sequence(poses, H=188, W=620, rig=None,
         return (render_textured_view_cylinder(pl, Tl, H, W,
                                               center_x=center[0],
                                               center_z=center[1],
-                                              radius=radius),
+                                              radius=radius,
+                                              wall_symmetry=wall_symmetry),
                 render_textured_view_cylinder(pr, Tr, H, W,
                                               center_x=center[0],
                                               center_z=center[1],
-                                              radius=radius))
+                                              radius=radius,
+                                              wall_symmetry=wall_symmetry))
 
     lefts, rights = [], []
     for t in range(poses.shape[0]):
@@ -392,6 +412,26 @@ def render_textured_stereo_sequence(poses, H=188, W=620, rig=None,
         lefts.append(l)
         rights.append(r)
     return jnp.stack(lefts), jnp.stack(rights)
+
+
+def figure_eight_poses(T, step=0.5, lead_in=4):
+    """A figure-eight with a short straight lead-in: after the lead-in the
+    trajectory circles one way for a full lobe, then the other way.
+
+    The crossing pose (frame `lead_in`) is revisited with the SAME heading
+    at the end of EACH lobe — two same-view revisits, i.e. >=2 loop-closure
+    opportunities in one pass. The lead-in matters for loop-closure tests:
+    the pipeline's init keyframe (frame 0) never enters the loop database,
+    so the revisited pose must be a later frame. Returns (T, 3, 4) T_c_w.
+    """
+    half = (T - lead_in) // 2
+    yaw = 2 * jnp.pi / half
+    poses = [se3.se3_identity()]
+    for i in range(T - 1):
+        rate = 0.0 if i < lead_in else (yaw if i < lead_in + half else -yaw)
+        delta = se3.se3_exp(jnp.array([0.0, 0.0, -step, 0.0, rate, 0.0]))
+        poses.append(se3.se3_compose(delta, poses[-1]))
+    return jnp.stack(poses)
 
 
 def forward_motion_poses(T, step=0.8, yaw_rate=0.0):
