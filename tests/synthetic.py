@@ -414,22 +414,37 @@ def render_textured_stereo_sequence(poses, H=188, W=620, rig=None,
     return jnp.stack(lefts), jnp.stack(rights)
 
 
-def figure_eight_poses(T, step=0.5, lead_in=4):
-    """A figure-eight with a short straight lead-in: after the lead-in the
-    trajectory circles one way for a full lobe, then the other way.
+def figure_eight_poses(T, step=0.5, lead_in=6, tail=8, blend=6):
+    """A figure-eight with SMOOTH yaw transitions: straight lead-in (yaw
+    ramps up over the last `blend` lead-in frames), a full lobe one way,
+    a `blend`-frame ramp to the opposite rate right AFTER the crossing,
+    the second lobe, and `tail` frames past the second crossing.
 
-    The crossing pose (frame `lead_in`) is revisited with the SAME heading
-    at the end of EACH lobe — two same-view revisits, i.e. >=2 loop-closure
-    opportunities in one pass. The lead-in matters for loop-closure tests:
-    the pipeline's init keyframe (frame 0) never enters the loop database,
-    so the revisited pose must be a later frame. Returns (T, 3, 4) T_c_w.
+    Instantaneous yaw flips are non-physical and break LK tracking (the
+    constant-velocity prediction is off by 2x the per-frame yaw — measured
+    as a full tracking collapse through the second lobe); ramping AFTER
+    the crossing keeps lobe 1 an exact circle, so the crossing pose
+    (~frame `lead_in`) is revisited with the same heading at
+    ~`lead_in + half` (sub-cm/sub-degree) and again near `T - tail`
+    (~0.2 m / ~7 deg — the blend bends lobe 2 slightly). Two same-view
+    revisits = >= 2 loop-closure opportunities. The lead-in matters: the
+    pipeline's init keyframe (frame 0) never enters the loop database.
+    Returns (T, 3, 4) T_c_w.
     """
-    half = (T - lead_in) // 2
+    half = (T - lead_in - tail) // 2
     yaw = 2 * jnp.pi / half
+    s_flip = lead_in + half
     poses = [se3.se3_identity()]
     for i in range(T - 1):
-        rate = 0.0 if i < lead_in else (yaw if i < lead_in + half else -yaw)
-        delta = se3.se3_exp(jnp.array([0.0, 0.0, -step, 0.0, rate, 0.0]))
+        if i < lead_in:
+            w = 0.0 if i < lead_in - blend else (i - (lead_in - blend)) / blend
+        elif i < s_flip:
+            w = 1.0
+        elif i < s_flip + blend:
+            w = 1.0 - 2.0 * (i - s_flip) / blend
+        else:
+            w = -1.0
+        delta = se3.se3_exp(jnp.array([0.0, 0.0, -step, 0.0, yaw * w, 0.0]))
         poses.append(se3.se3_compose(delta, poses[-1]))
     return jnp.stack(poses)
 

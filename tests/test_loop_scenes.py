@@ -45,7 +45,7 @@ def _run_fused(lefts, rights, cfg, mnv2_params=None):
 
 
 def test_two_loops_close_on_figure_eight():
-    T = 96
+    T = 112
     poses = synthetic.figure_eight_poses(T, step=0.5)
     lefts, rights = synthetic.render_arena_stereo_sequence(
         poses, rig=synthetic.make_stereo_rig(), center=(0.0, 6.0),
