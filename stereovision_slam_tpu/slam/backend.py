@@ -279,16 +279,21 @@ def _residual_jac_cols(cam: Camera, T_all: jax.Array, P_all: jax.Array,
 
 def _residuals_lr_cols(cam_left: Camera, cam_right: Camera,
                        kf_pose: jax.Array, lm_pos: jax.Array,
-                       obs: BAObservations, lm_onehot: jax.Array):
+                       obs: BAObservations, lm_onehot: jax.Array,
+                       P_all: jax.Array | None = None):
     """`_residuals_lr` in column form (flat Jacobians). Same [left; right]
-    static-half layout and one-hot landmark gather."""
+    static-half layout and one-hot landmark gather. `P_all` short-circuits
+    the per-observation position gather when the caller already carries it
+    (the LM loop below: each O-sized einsum streams the full ~L*M one-hot
+    from HBM, and those streams dominate the flat-assembly iteration)."""
     M = obs.kf.shape[0]
     h = M // 2
     K = kf_pose.shape[0]
     F = h // K
     T_all = jnp.broadcast_to(kf_pose[None, :, None], (2, K, F, 3, 4)
                              ).reshape(M, 3, 4)
-    P_all = jnp.einsum("ml,lc->mc", lm_onehot, lm_pos, precision=_PREC)
+    if P_all is None:
+        P_all = jnp.einsum("ml,lc->mc", lm_onehot, lm_pos, precision=_PREC)
 
     halves = []
     for cam, sl in ((cam_left, slice(0, h)), (cam_right, slice(h, M))):
@@ -328,10 +333,17 @@ def _assemble_flat(r, Jp_cols, Jl_cols, w, O: jax.Array, K: int):
 
     H_pp = hpp.reshape(2, K, F, 36).sum(axis=(0, 2)).reshape(K, 6, 6)
     b_p = bp.reshape(2, K, F, 6).sum(axis=(0, 2))
-    H_ll = jnp.einsum("ml,mq->lq", O, hll, precision=_PREC).reshape(L, 3, 3)
-    b_l = jnp.einsum("ml,mb->lb", O, bl, precision=_PREC)
-    G = jnp.einsum("ckfl,ckfq->lkq", O.reshape(2, K, F, L),
-                   g.reshape(2, K, F, 18), precision=_PREC).reshape(L, K, 6, 3)
+    # ONE one-hot contraction for G, H_ll and b_l: the (M, L) one-hot is
+    # ~32 MB at bench scale and each einsum that touches it pays a full
+    # HBM stream — packing the 18+9+3 per-observation columns into one
+    # (2, K, F, 30) operand reads it once. H_ll/b_l then reduce the k axis
+    # of the (L, K, 30) product (same per-element sums, k-major order).
+    packed = jnp.concatenate([g, hll, bl], axis=-1)       # (M, 30)
+    out = jnp.einsum("ckfl,ckfq->lkq", O.reshape(2, K, F, L),
+                     packed.reshape(2, K, F, 30), precision=_PREC)
+    G = out[:, :, :18].reshape(L, K, 6, 3)
+    H_ll = out[:, :, 18:27].sum(axis=1).reshape(L, 3, 3)
+    b_l = out[:, :, 27:30].sum(axis=1)
     return H_pp, b_p, H_ll, b_l, G
 
 
@@ -488,15 +500,23 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
         c = jnp.sum(r * r, axis=-1)
         return jnp.where(o.valid & in_front, c, 0.0), in_front
 
-    def robust_total(kf_pose, lm_pos):
-        c, in_front = chi2_fn(kf_pose, lm_pos, obs_c, lm_onehot=O)
-        rho = jnp.where(c <= huber_d2, c, 2.0 * jnp.sqrt(huber_d2 * c) - huber_d2)
-        return jnp.sum(jnp.where(obs_c.valid & in_front, rho, 0.0))
+    def robust_at(kf_pose, P_all):
+        """Robust cost from a carried per-observation position table."""
+        rr, _, _, inf2 = _residuals_lr_cols(cam_left, cam_right, kf_pose,
+                                            lm_pos0, obs_c, O, P_all=P_all)
+        cc = jnp.sum(rr * rr, axis=-1)
+        rho = jnp.where(cc <= huber_d2, cc,
+                        2.0 * jnp.sqrt(huber_d2 * cc) - huber_d2)
+        return jnp.sum(jnp.where(obs_c.valid & inf2, rho, 0.0))
 
     def lm_step(_, carry):
-        kf_pose, lm_pos, lam = carry
+        # P_all (the per-observation landmark positions) is CARRIED and
+        # updated incrementally (P + O @ dx_l): together with the packed
+        # assembly contraction this holds the O streams at two per
+        # iteration (position delta + assembly) instead of five
+        kf_pose, lm_pos, P_all, lam = carry
         r, Jp_cols, Jl_cols, in_front = _residuals_lr_cols(
-            cam_left, cam_right, kf_pose, lm_pos, obs_c, O)
+            cam_left, cam_right, kf_pose, lm_pos, obs_c, O, P_all=P_all)
         c = jnp.sum(r * r, axis=-1)
         w = jacobians.huber_weight(c, huber_d2)
         w = jnp.where(obs_c.valid & in_front, w, 0.0)
@@ -506,20 +526,24 @@ def optimize_window(m: mapmod.MapState, cam_left: Camera, cam_right: Camera,
                                  kf_free, lm_active_c)
         kf_new = se3.se3_compose(se3.se3_exp(dx_p), kf_pose)
         lm_new = lm_pos + dx_l
+        P_new = P_all + jnp.einsum("ml,lc->mc", O, dx_l, precision=_PREC)
         # incumbent cost from the residuals already evaluated above (equals
         # robust_total(kf_pose, lm_pos)) — saves a full residual pass/iter
         rho_inc = jnp.where(c <= huber_d2, c,
                             2.0 * jnp.sqrt(huber_d2 * c) - huber_d2)
         cost_inc = jnp.sum(jnp.where(obs_c.valid & in_front, rho_inc, 0.0))
-        better = robust_total(kf_new, lm_new) < cost_inc
+        better = robust_at(kf_new, P_new) < cost_inc
         kf_out = jnp.where(better, kf_new, kf_pose)
         lm_out = jnp.where(better, lm_new, lm_pos)
+        P_out = jnp.where(better, P_new, P_all)
         lam_out = jnp.where(better, jnp.maximum(lam * 0.5, 1e-9),
                             jnp.minimum(lam * 4.0, 1e4))
-        return kf_out, lm_out, lam_out
+        return kf_out, lm_out, P_out, lam_out
 
-    kf_pose, lm_pos_c, _ = lax.fori_loop(
-        0, iters, lm_step, (m.kf_pose, lm_pos0, jnp.asarray(1e-4, dtype)))
+    P0 = jnp.einsum("ml,lc->mc", O, lm_pos0, precision=_PREC)
+    kf_pose, lm_pos_c, _, _ = lax.fori_loop(
+        0, iters, lm_step,
+        (m.kf_pose, lm_pos0, P0, jnp.asarray(1e-4, dtype)))
 
     if compact:  # scatter the refined compact positions back to full slots
         lm_pos = m.lm_pos.at[jnp.where(lm_active_c, sel, L)].set(
