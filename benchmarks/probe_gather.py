@@ -5,15 +5,21 @@ Candidates (round-4 design probe for fusing the LK prep into Pallas):
   xla_onehot       status quo: one-hot MXU matmuls (ops/image.py
                    _gather_patches_mxu)
   pallas_dynslice  Pallas kernel, image resident in VMEM, fori_loop over
-                   points doing dynamic-slice reads (Mosaic lane rotate)
-  pallas_dma       Pallas kernel, image left in ANY/HBM, one async DMA per
-                   point into the VMEM output, pipelined over an 8-deep
-                   semaphore ring
+                   points: 8-aligned sublane dynamic slice + two
+                   tpu.dynamic_rotate ops bring the window to (0, 0)
 
-Each strategy is timed as K in-jit repetitions (corner offsets vary per rep,
-checksum accumulated — defeats CSE) so the ~24 ms tunnel RTT and per-dispatch
-latency do not swamp ~100 us kernels. Clock stops after a data-dependent
-readback (probe_runtime.py conventions).
+Findings (v5e, 2026-08-21): slope-timed, the XLA one-hot costs ~80 us per
+(256, 32, 32) gather and the Pallas roll-gather is ~free beyond the ~30-60
+us pallas_call overhead. Mosaic constraints hit on the way: dynamic
+sublane starts must be provably 8-aligned (pl.multiple_of), dynamic LANE
+starts must be 128-aligned, dynamic_rotate needs a 128-multiple lane dim,
+and HBM DMA slices must be 128-aligned on the lane dim (which kills
+per-point unaligned window DMAs outright).
+
+Each strategy is SLOPE-timed between two in-jit repetition counts (corner
+offsets vary per rep, checksum accumulated — defeats CSE/hoisting): a
+single dispatch+readback through the tunnel measures the ~24 ms RTT, not
+the kernel (docs/PERFORMANCE.md round-4 methodology correction).
 
 Run fresh: python benchmarks/probe_gather.py [N] [P]
 """
@@ -73,69 +79,24 @@ def gather_dynslice(img, cy, cx, N, P):
     )(pts, img)
 
 
-def _dma_kernel(pts_ref, img_ref, out_ref, sems, *, N, P, DEPTH):
-    def start(n):
-        cy = pl.multiple_of(pts_ref[n, 0], 8)
-        cx = pts_ref[n, 1]
-        pltpu.make_async_copy(
-            img_ref.at[pl.ds(cy, P), pl.ds(cx, P)],
-            out_ref.at[n],
-            sems.at[n % DEPTH],
-        ).start()
-
-    def wait(n):
-        cy = pl.multiple_of(pts_ref[n, 0], 8)
-        cx = pts_ref[n, 1]
-        pltpu.make_async_copy(
-            img_ref.at[pl.ds(cy, P), pl.ds(cx, P)],
-            out_ref.at[n],
-            sems.at[n % DEPTH],
-        ).wait()
-
-    def body(n, _):
-        @pl.when(n + DEPTH < N)
-        def _():
-            start(n + DEPTH)
-        wait(n)
-        return 0
-
-    for n in range(DEPTH):
-        start(n)
-    lax.fori_loop(0, N, body, 0)
-
-
-def gather_dma(img, cy, cx, N, P, depth=8):
-    pts = jnp.stack([cy, cx], axis=1).astype(jnp.int32)
-    return pl.pallas_call(
-        functools.partial(_dma_kernel, N=N, P=P, DEPTH=depth),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, P, P), jnp.float32),
-        scratch_shapes=[pltpu.SemaphoreType.DMA((depth,))],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(pts, img)
-
-
 def bench(label, fn, img, cy, cx, N, P):
-    @jax.jit
-    def reps(img, cy, cx):
-        def body(i, acc):
-            out = fn(img, (cy + i) % (H - P), (cx + i) % (W - P), N, P)
-            return acc + out[0, 0, 0] + out[N - 1, P - 1, P - 1]
-        return lax.fori_loop(0, K_REPS, body, jnp.float32(0.0))
+    best = {}
+    for KR in (4, 4 + K_REPS):
+        @jax.jit
+        def reps(img, cy, cx, KR=KR):
+            def body(i, acc):
+                out = fn(img, (cy + i) % (H - P), (cx + i) % (W - P), N, P)
+                return acc + jnp.sum(out[0]) + jnp.sum(out[N - 1])
+            return lax.fori_loop(0, KR, body, jnp.float32(0.0))
 
-    out = reps(img, cy, cx)
-    float(np.asarray(out))
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out = reps(img, cy, cx)
-        float(np.asarray(out))
-        ts.append(time.perf_counter() - t0)
-    per = min(ts) / K_REPS
+        float(np.asarray(reps(img, cy, cx)))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(reps(img, cy, cx)))
+            ts.append(time.perf_counter() - t0)
+        best[KR] = min(ts)
+    per = (best[4 + K_REPS] - best[4]) / K_REPS
     print(f"{label:45s} {per*1e6:9.1f} us/gather  "
           f"({N}x{P}x{P} windows)", flush=True)
     return per
@@ -166,11 +127,6 @@ def main():
               img, cy, cx, N, P)
     except Exception as e:
         print("pallas_dynslice FAILED:", repr(e)[:300])
-    try:
-        bench("pallas per-point DMA (depth 8)", gather_dma,
-              img, cy, cx, N, P)
-    except Exception as e:
-        print("pallas_dma FAILED:", repr(e)[:300])
 
 
 if __name__ == "__main__":

@@ -202,8 +202,8 @@ def _pose_kernel(camp_ref, pts_ref, uvo_ref, val_ref, T0_ref,
                     H[j][i] = H[i][j]
             bvec = [s11(wJ[i] * ru + wJ[6 + i] * rv) for i in range(6)]
             # damping: H + lam*diag(H) + 1e-10 I  (pose_solver._solve_damped)
-            Hd = [[H[i][j] + (lam * H[i][i] + 1e-10 if i == j else 0.0)
-                   if i == j else H[i][j] for j in range(6)] for i in range(6)]
+            Hd = [[H[i][j] + lam * H[i][i] + 1e-10 if i == j else H[i][j]
+                   for j in range(6)] for i in range(6)]
             dx = chol_solve(Hd, bvec)
             T_new = se3_exp_compose(dx, T)
 

@@ -108,8 +108,10 @@ def _pack_drain_impl(arc: ArchiveState, ms, out_buf, ls=None, *,
     """Device-side assembly of EVERYTHING the host drain consumes — archive
     prefixes, window keyframes, the landmark tables merged by global id,
     the per-frame output buffer prefix and (fused-loop mode) the loop edge
-    log — returned as one pytree so `jax.device_get` pulls it in ONE fused
-    transfer. The axon tunnel's bulk readback can degrade to ~0.05 MB/s
+    log — returned as one pytree that `_flatten_to_words` bitcasts into a
+    single uint32 buffer for the host pull (device_get pays one tunnel
+    round trip per pytree LEAF). The axon tunnel's bulk readback can
+    degrade to ~0.05 MB/s
     (BASELINE.md): round 3 lost 10.5 s of a 12 s run to a drain that pulled
     full tables as many leaves plus re-pulls in run_pgo. This pack keeps
     the whole drain under ~100 KB at bench scale: used-prefix slices at

@@ -109,7 +109,12 @@ def _loop_hook(ls: LoopState, fs, ms, pyr, frame_id, kf_id, arc, *,
                strong: float, weak: float, max_weak: int, min_match: int,
                min_pose_diff: float, max_pose_diff: float,
                max_loop_dist: float, num_hypotheses: int):
-    """The keyframe-rate loop-closure pipeline, traced into the fused step."""
+    """The keyframe-rate loop-closure pipeline, traced into the fused step.
+
+    `arc` (the device archive, pre-update this step) is part of the hook
+    contract so hooks can read final values for long-evicted keyframes/
+    landmarks; this hook deliberately does NOT use it for the candidate
+    tables (see the snapshot note in `attempt` below)."""
     left_img = pyr[0]
     Tdb = ls.db_embed.shape[0]
 
