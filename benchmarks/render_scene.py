@@ -39,7 +39,24 @@ def main():
     W = int(sys.argv[4]) if len(sys.argv) > 4 else 620
     scene = sys.argv[5] if len(sys.argv) > 5 else "forward"
     rig = synthetic.make_stereo_rig()
-    if scene == "circuit":
+    if scene == "figure8":
+        # two same-heading revisits of the crossing pose (loop-closure
+        # stress; tests/test_loop_scenes.py) — smooth yaw transitions
+        step = 0.5
+        poses = synthetic.figure_eight_poses(T, step=step)
+        lefts, rights = synthetic.render_arena_stereo_sequence(
+            poses, H=H, W=W, rig=rig, center=(0.0, 6.0), radius=25.0)
+        dist = step * T
+    elif scene == "aliased":
+        # 4-fold symmetric wall: perceptual aliasing for pooled embedders
+        step = 0.5
+        poses = synthetic.forward_motion_poses(T, step=step,
+                                               yaw_rate=2 * np.pi / (T + T // 3))
+        lefts, rights = synthetic.render_arena_stereo_sequence(
+            poses, H=H, W=W, rig=rig, center=(0.0, 6.0), radius=25.0,
+            wall_symmetry=4)
+        dist = step * T
+    elif scene == "circuit":
         # closed loop: ~3 deg/frame yaw closes the circle in T frames (same
         # operating point as tests/test_fused_loop.py's arena circuit)
         step = 0.35
