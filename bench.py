@@ -156,12 +156,31 @@ def main():
     y.block_until_ready()
     print(f"dispatch probe: {(time.perf_counter() - t0) / 50 * 1000:.3f} "
           "ms/op", file=sys.stderr)
-    bw_x = jnp.ones((256 * 1024,), jnp.float32)  # 1 MB
-    bw_x.block_until_ready()
-    t0 = time.perf_counter()
-    np.asarray(bw_x)
-    print(f"readback probe: {1.0 / (time.perf_counter() - t0):.1f} MB/s",
-          file=sys.stderr)
+    # probe twice: the FIRST post-connect read can be 10-100x slower than
+    # the link's steady state (measured: 0.1 MB/s first read in a run whose
+    # drain then moved at ~3 MB/s); the second read is the honest signal
+    bw = 0.0
+    for _ in range(2):
+        bw_x = jnp.ones((256 * 1024,), jnp.float32) * bw  # 1 MB, fresh value
+        bw_x.block_until_ready()
+        t0 = time.perf_counter()
+        np.asarray(bw_x)
+        bw = 1.0 / (time.perf_counter() - t0)
+    print(f"readback probe: {bw:.1f} MB/s", file=sys.stderr)
+    # Collapsed-tunnel defense: the axon readback link sometimes degrades to
+    # ~0.03 MB/s after backend outages (BASELINE.md) — a state that turns
+    # the fixed ~100 KB drain into tens of seconds and poisons the recorded
+    # number with no code change (this is exactly how round 3's 9.92 fps
+    # record happened). A FRESH process usually gets a healthy link, so if
+    # the probe shows a collapsed link, re-exec once before the timed
+    # region ever starts (the probe runs pre-measurement; this changes the
+    # environment, never the clocked protocol).
+    if bw < 0.5 and not os.environ.get("BENCH_RETRIED"):
+        print("collapsed readback link detected — re-executing once "
+              "for a fresh tunnel session", file=sys.stderr)
+        os.environ["BENCH_RETRIED"] = "1"
+        time.sleep(20)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
 
     # Pre-stage every frame on the device (the benchmark measures per-chip
     # compute throughput; the native prefetching loader overlaps uploads on
