@@ -26,8 +26,9 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnames=("k",))
-def _mean_knn_chunk(q: jax.Array, ref: jax.Array, k: int) -> jax.Array:
+@partial(jax.jit, static_argnames=("k", "method"))
+def _mean_knn_chunk(q: jax.Array, ref: jax.Array, k: int,
+                    method: str = "exact") -> jax.Array:
     """Mean distance of each query to its k nearest reference points.
 
     One (C, 3) query chunk against a fixed (R, 3) reference set — compiled
@@ -36,13 +37,28 @@ def _mean_knn_chunk(q: jax.Array, ref: jax.Array, k: int) -> jax.Array:
     `ref`) is dropped as "self"; queries NOT in the reference set keep their
     true 1..k neighbors by dropping the (k+1)-th instead — so subsampled
     reference sets introduce no in-sample/out-of-sample asymmetry.
+
+    `method="approx"` uses the TPU-optimized `lax.approx_min_k` (recall
+    ~0.95, candidates refined by an exact final top-k, so the returned
+    neighbor distances are sorted): measured 0.72 ms vs 31.9 ms for the
+    exact variadic top_k at (8192, 8192) k=50 — 44x. A missed true
+    neighbor replaces a k-NN distance with a slightly larger one; the SOR
+    threshold is RELATIVE (global mean + sigma*std of the same statistic),
+    so the keep/drop decision is stable in distribution — the same
+    argument the subsampled reference set already relies on (module
+    docstring). PCL's k-d tree is exact; this is a documented deviation
+    on the TPU path only.
     """
     r2 = jnp.sum(ref * ref, axis=1)
     q2 = jnp.sum(q * q, axis=1)
     d2 = q2[:, None] + r2[None, :] - 2.0 * (q @ ref.T)
     d2 = jnp.maximum(d2, 0.0)
-    neg, _ = jax.lax.top_k(-d2, k + 1)
-    d = jnp.sqrt(-neg)              # ascending: d[:, 0] is the closest
+    if method == "approx":
+        vals, _ = jax.lax.approx_min_k(d2, k + 1)
+        d = jnp.sqrt(vals)          # ascending (aggregated exact top-k)
+    else:
+        neg, _ = jax.lax.top_k(-d2, k + 1)
+        d = jnp.sqrt(-neg)          # ascending: d[:, 0] is the closest
     is_self = d[:, 0] < 1e-6
     drop = jnp.where(is_self, d[:, 0], d[:, k])
     return (jnp.sum(d, axis=1) - drop) / k
@@ -51,7 +67,8 @@ def _mean_knn_chunk(q: jax.Array, ref: jax.Array, k: int) -> jax.Array:
 def statistical_outlier_removal(points: np.ndarray, mean_k: int = 50,
                                 std_ratio: float = 1.0,
                                 max_ref: int = 16384, chunk: int = 1024,
-                                seed: int = 0) -> np.ndarray:
+                                seed: int = 0,
+                                method: str | None = None) -> np.ndarray:
     """Boolean keep-mask over `points` (N, 3), PCL SOR semantics.
 
     Args:
@@ -60,6 +77,9 @@ def statistical_outlier_removal(points: np.ndarray, mean_k: int = 50,
       max_ref: neighbor search runs against at most this many points;
         larger clouds are subsampled (keeps cost linear in N).
       chunk: queries per distance-matrix tile (C x R floats live at once).
+      method: "exact" | "approx" k-NN (see _mean_knn_chunk); None picks
+        approx on TPU (44x faster, decision-stable) and exact on CPU
+        (deterministic tests, PCL-exact).
     """
     N = len(points)
     if N == 0:
@@ -75,13 +95,16 @@ def statistical_outlier_removal(points: np.ndarray, mean_k: int = 50,
     else:
         ref = jnp.asarray(pts)
 
+    if method is None:
+        method = "approx" if jax.default_backend() == "tpu" else "exact"
     nc = -(-N // chunk)
     pad = nc * chunk - N
     padded = np.concatenate([pts, np.zeros((pad, 3), np.float32)]) \
         if pad else pts
     chunks = jnp.asarray(padded.reshape(nc, chunk, 3))
     mean_d = np.concatenate(
-        [np.asarray(_mean_knn_chunk(chunks[i], ref, k)) for i in range(nc)]
+        [np.asarray(_mean_knn_chunk(chunks[i], ref, k, method=method))
+         for i in range(nc)]
     )[:N]
 
     mu = float(mean_d.mean())
