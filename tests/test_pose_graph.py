@@ -130,3 +130,49 @@ def test_reanchor_landmarks():
     np.testing.assert_allclose(np.asarray(out[0]), [4.0, 0.0, 10.0], atol=1e-5)
     # landmark 1 has no anchor -> unchanged
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(lm[1]), atol=1e-6)
+
+
+def test_info_weighted_loop_edge_ignores_blind_directions():
+    """A loop edge whose information matrix is rank-deficient must correct
+    the observed directions and leave the blind ones alone (the round-4 fix
+    for PGO degrading the trajectory: a PnP loop pose can be wrong along
+    its unobservable tangent directions, and an identity-weighted edge
+    pushes the whole trajectory into that null space)."""
+    g, gt, drifted = build_graph()
+    n = g.poses.shape[0]
+    E = g.edge_i.shape[0]
+
+    # corrupt the loop measurement along world y by 0.8 m — far larger than
+    # the odometry drift — and declare that direction UNOBSERVED
+    bad = np.zeros(6, np.float32)
+    bad[1] = 0.8
+    meas = np.asarray(g.edge_meas).copy()
+    meas[-1] = np.asarray(se3.se3_compose(
+        se3.se3_exp(jnp.asarray(bad)), jnp.asarray(meas[-1])))
+    info = np.tile(np.eye(6, dtype=np.float32)[None], (E, 1, 1))
+    info[-1, 1, 1] = 0.0            # y-translation: blind
+    g_info = g._replace(edge_meas=jnp.asarray(meas),
+                        edge_info=jnp.asarray(info))
+    g_ident = g._replace(edge_meas=jnp.asarray(meas))
+
+    out_info = optimize_pose_graph(g_info, iters=22)
+    out_ident = optimize_pose_graph(g_ident, iters=22)
+    err_info = np.linalg.norm(centers(out_info) - centers(gt), axis=1)
+    err_ident = np.linalg.norm(centers(out_ident) - centers(gt), axis=1)
+    # identity weighting swallows the corrupted y; info weighting must not
+    assert err_info.max() < 0.15, err_info.max()
+    assert err_ident.max() > 0.3, err_ident.max()
+    # and the observed directions still get their loop correction
+    drift_before = np.linalg.norm(centers(drifted) - centers(gt), axis=1)
+    assert err_info[-1] < drift_before[-1] * 0.5
+
+
+def test_identity_info_matches_no_info():
+    """edge_info = stacked identities must reproduce the default path."""
+    g, gt, drifted = build_graph()
+    E = g.edge_i.shape[0]
+    g_eye = g._replace(edge_info=jnp.tile(jnp.eye(6)[None], (E, 1, 1)))
+    out_a = optimize_pose_graph(g, iters=10)
+    out_b = optimize_pose_graph(g_eye, iters=10)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-4)
