@@ -197,6 +197,10 @@ def main():
         jax.block_until_ready(vo._queue[-1][1])
         vo.step()  # warmup frame: compiles (or cache-loads) the fused step
         np.asarray(vo.fs.T_cur)
+        # pre-load the PGO + reanchor executables: each distinct executable
+        # costs ~2-3 s of per-process load on the tunnel EVEN on a
+        # persistent-cache hit; un-warmed that load lands inside pgo_s
+        vo.warm_pgo(kf_hint=64)
         print(f"setup+compile: {time.perf_counter() - t_setup:.1f} s",
               file=sys.stderr)
         t0 = time.perf_counter()
@@ -232,6 +236,7 @@ def main():
         # warmup chunk: compiles (or cache-loads) the chunk program
         vo.step_chunk(*chunks[0][:4], host_fids=chunks[0][4], n=CHUNK)
         np.asarray(vo.fs.T_cur)
+        vo.warm_pgo(kf_hint=64)  # see the fused-path comment above
         print(f"setup+compile: {time.perf_counter() - t_setup:.1f} s",
               file=sys.stderr)
         # ---- timed region: remaining chunks, sync per chunk, then DRAIN ----
@@ -316,6 +321,9 @@ def main():
         "rpe_trans": round(rpe, 4),
         "n_loops": n_loops,
         "pgo_s": round(pgo_s, 3),
+        # self-report the collapsed-tunnel re-exec so a retried run is
+        # visible in the recorded artifact (VERDICT r4 weak #7)
+        "retried": bool(os.environ.get("BENCH_RETRIED")),
     }))
 
 

@@ -240,3 +240,21 @@ def se3_distance(Ta: jax.Array, Tb: jax.Array) -> jax.Array:
     for keyframe eviction (map.cpp:76-181) and loop-pose gating
     (loopclosure.cpp:408-424)."""
     return jnp.linalg.norm(se3_log(se3_compose(Ta, se3_inverse(Tb))), axis=-1)
+
+
+def se3_adjoint(T: jax.Array) -> jax.Array:
+    """SE(3) adjoint (..., 6, 6) for the [v, w] tangent ordering:
+
+        T * exp(xi) * T^-1 = exp(Adj(T) @ xi),   Adj = [[R, hat(t) R],
+                                                        [0,       R]].
+
+    Used to transport tangent-frame quadratic forms between frames — e.g.
+    the loop-closure PnP Hessian (built in the left tangent of the corrected
+    pose, fused_loop.py) into the pose-graph edge-residual tangent
+    (pose_graph._linearize): info_resid = Adj(meas)^T H_pose Adj(meas).
+    """
+    R, t = se3_R(T), se3_t(T)
+    tR = _mm(so3_hat(t), R)
+    top = jnp.concatenate([R, tR], axis=-1)
+    bot = jnp.concatenate([jnp.zeros_like(R), R], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)

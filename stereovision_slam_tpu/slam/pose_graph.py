@@ -67,20 +67,43 @@ def _edge_jacobians(Ti, Tj, meas):
     return jax.jacfwd(ri)(z), jax.jacfwd(rj)(z)
 
 
-def _linearize(g: PoseGraph):
+def _info_sqrt(edge_info: jax.Array) -> jax.Array:
+    """Per-edge whitening transform W (E, 6, 6) with W^T W = info.
+
+    Computed via eigh, NOT Cholesky: loop edges carry exactly-rank-deficient
+    information (a PnP Hessian's null space), and float32 Cholesky of a dense
+    rank-deficient 6x6 + tiny jitter produces NaN pivots (rounding drives the
+    blind-direction Schur pivot negative). The NaN then poisoned chi2 and the
+    LM accept test silently rejected EVERY step — the optimizer returned its
+    input unchanged whenever a loop edge's info was dense (the round-5 root
+    cause behind tests/test_pose_graph.py frame-correctness cases). eigh of a
+    symmetric PSD matrix is unconditionally stable; negative rounding noise
+    in the spectrum is clamped to 0.
+    """
+    info = 0.5 * (edge_info + jnp.swapaxes(edge_info, -1, -2))
+    S, U = jnp.linalg.eigh(info)
+    # W = sqrt(S) U^T  =>  W^T W = U S U^T = info
+    return jnp.sqrt(jnp.maximum(S, 0.0))[..., :, None] \
+        * jnp.swapaxes(U, -1, -2)
+
+
+def _linearize(g: PoseGraph, info_sqrt: jax.Array | None = None):
     Ti = g.poses[g.edge_i]
     Tj = g.poses[g.edge_j]
     r = jax.vmap(_edge_residual)(Ti, Tj, g.edge_meas)          # (E, 6)
     Ji, Jj = jax.vmap(_edge_jacobians)(Ti, Tj, g.edge_meas)    # (E, 6, 6)
-    if g.edge_info is not None:
-        # whiten per edge: r' = L^T r, J' = L^T J with info = L L^T, so the
+    if info_sqrt is None and g.edge_info is not None:
+        info_sqrt = _info_sqrt(g.edge_info)
+    if info_sqrt is not None:
+        # whiten per edge: r' = W r, J' = W J with W^T W = info, so the
         # unweighted normal equations below realize sum J^T info J / r^T
-        # info r exactly; identity info rows pass through unchanged
-        L = jnp.linalg.cholesky(
-            g.edge_info + 1e-9 * jnp.eye(6, dtype=r.dtype))
-        r = jnp.einsum("eba,eb->ea", L, r, precision=_PREC)
-        Ji = jnp.einsum("eba,ebc->eac", L, Ji, precision=_PREC)
-        Jj = jnp.einsum("eba,ebc->eac", L, Jj, precision=_PREC)
+        # info r exactly; identity info rows pass through unchanged.
+        # info must be expressed in the RESIDUAL tangent frame of
+        # relative_pose_residual — pose-tangent quadratic forms (the PnP
+        # Hessian) are transported there by Adj(meas) first (fused_loop.py).
+        r = jnp.einsum("eab,eb->ea", info_sqrt, r, precision=_PREC)
+        Ji = jnp.einsum("eab,ebc->eac", info_sqrt, Ji, precision=_PREC)
+        Jj = jnp.einsum("eab,ebc->eac", info_sqrt, Jj, precision=_PREC)
     w = g.edge_valid.astype(r.dtype)
     return r * w[:, None], Ji * w[:, None, None], Jj * w[:, None, None]
 
@@ -207,16 +230,18 @@ def _optimize(g: PoseGraph, iters: int, cg_iters: int,
     free = g.pose_valid & (jnp.arange(T) != first)
     onehots = _edge_onehots(g, T, g.poses.dtype)
     oi, oj = onehots
+    # whitening transform is pose-independent: factor the info matrices once
+    W = _info_sqrt(g.edge_info) if g.edge_info is not None else None
 
     def total_chi2(poses):
         gg = g._replace(poses=poses)
-        r, _, _ = _linearize(gg)
+        r, _, _ = _linearize(gg, W)
         return reduce_fn(jnp.sum(r * r))
 
     def lm_step(_, carry):
         poses, lam = carry
         gg = g._replace(poses=poses)
-        r, Ji, Jj = _linearize(gg)
+        r, Ji, Jj = _linearize(gg, W)
         b = -reduce_fn(
             jnp.einsum("et,eb->tb", oi,
                        jnp.einsum("eab,ea->eb", Ji, r, precision=_PREC),
@@ -249,11 +274,15 @@ def optimize_pose_graph(g: PoseGraph, iters: int = 22, cg_iters: int = 100):
     return _optimize(g, iters, cg_iters)
 
 
+@jax.jit
 def reanchor_landmarks(lm_pos: jax.Array, lm_first_kf: jax.Array,
                        old_poses: jax.Array, new_poses: jax.Array,
                        pose_valid: jax.Array):
     """Re-anchor landmarks through their first observing keyframe
     (loopclosure.cpp:762-785): p_new = T_new^-1 * (T_old * p_old).
+
+    Jitted: unjitted this is ~20 separate dispatches, which on the tunnel
+    runtime costs ~0.4 s of pure RTT inside run_pgo (round-5 trace).
 
     Args:
       lm_pos: (L, 3); lm_first_kf: (L,) keyframe slot index into the pose
