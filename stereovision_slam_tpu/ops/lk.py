@@ -217,6 +217,25 @@ def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
     num_levels = len(prev_pyramid)
     if initial_pts is None:
         initial_pts = prev_pts
+    if pallas_mode is None:
+        # default: the lane-major fused kernel on TPU (slope-measured r5:
+        # 1.04 -> 0.37 ms single-group, 3.01 -> 1.11 ms for the frontend's
+        # 3-group batch), the XLA while_loop elsewhere (the Pallas
+        # interpreter is far slower than plain XLA on CPU)
+        pallas_mode = "lanes" if jax.default_backend() != "cpu" else "xla"
+    if pallas_mode in ("lanes", "lanes-interpret"):
+        # lane-major fused path: the whole per-level iteration loop is one
+        # Pallas kernel with points in the lane dimension (ops/lk_lanes.py)
+        from stereovision_slam_tpu.ops import lk_lanes
+        if mask is None:
+            mask = jnp.ones(prev_pts.shape[0], jnp.bool_)
+        uv, st = lk_lanes.track_grouped_lanes(
+            [l[None] for l in prev_pyramid], [l[None] for l in cur_pyramid],
+            prev_pts[None], initial_pts[None], mask[None],
+            win_size=win_size, max_iters=max_iters, eps=eps,
+            min_eig_threshold=min_eig_threshold,
+            interpret=(pallas_mode == "lanes-interpret"))
+        return uv[0], st[0]
     scale_top = 0.5 ** (num_levels - 1)
     guesses = initial_pts * scale_top
     status = jnp.ones(prev_pts.shape[0], dtype=jnp.bool_)
@@ -276,6 +295,15 @@ def track_batched(tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks, *,
 
     Returns (cur_pts (G, N, 2), status (G, N)).
     """
+    if pallas_mode in ("lanes", "lanes-interpret"):
+        # fold the group axis into the kernel's lane dimension instead of
+        # vmapping (ops/lk_lanes.py module docstring)
+        from stereovision_slam_tpu.ops import lk_lanes
+        return lk_lanes.track_grouped_lanes(
+            tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks,
+            win_size=win_size, max_iters=max_iters, eps=eps,
+            min_eig_threshold=min_eig_threshold,
+            interpret=(pallas_mode == "lanes-interpret"))
     fn = partial(track, win_size=win_size, max_iters=max_iters, eps=eps,
                  min_eig_threshold=min_eig_threshold, windowed=windowed,
                  pallas_mode=pallas_mode)
