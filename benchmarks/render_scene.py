@@ -65,6 +65,17 @@ def main():
         lefts, rights = synthetic.render_arena_stereo_sequence(
             poses, H=H, W=W, rig=rig, center=(0.0, 6.0), radius=25.0)
         dist = step * T
+    elif scene == "circuit_long":
+        # multi-lap circuit for long-sequence throughput (VERDICT r4 #3: the
+        # reference free-runs 1000-4500-frame KITTI sequences; fixed drain/
+        # setup costs must amortize): the same circle driven T/112 times,
+        # every lap a loop-closure opportunity
+        step = 0.35
+        poses = synthetic.forward_motion_poses(T, step=step,
+                                               yaw_rate=2 * np.pi / 112)
+        lefts, rights = synthetic.render_arena_stereo_sequence(
+            poses, H=H, W=W, rig=rig, center=(0.0, 6.0), radius=25.0)
+        dist = step * T
     else:
         step = 0.5
         poses = synthetic.forward_motion_poses(T, step=step, yaw_rate=0.0)

@@ -796,13 +796,24 @@ class FusedVisualOdometry:
         key = len(self._fids)
         if self._drain_cache is not None and self._drain_cache[0] == key:
             return self._drain_cache[1]
+        import os as _os
+        import time as _time
+        trace = _os.environ.get("SVSLAM_TIME_DRAIN")
+        t0 = _time.perf_counter()
         counts = [int(c) for c in jax.device_get(self._drain_counts())]
+        t1 = _time.perf_counter()
         n_kf = counts[0] + 1
         n_lm = counts[1]
         kp = min(self.Tmax, _round_up(max(n_kf, 1), 64))
         lp = min(self.Lmax, _round_up(max(n_lm, 1), 512))
         fp = min(self.Fmax, _round_up(max(key, 1), 256))
         words = jax.device_get(self._pack_device(kp, lp, fp, counts))
+        if trace:
+            import sys as _sys
+            print(f"drain: counts(+pipeline wait) {t1 - t0:.3f} s, "
+                  f"pack+pull {_time.perf_counter() - t1:.3f} s "
+                  f"({words.nbytes / 1e6:.2f} MB, kp={kp} lp={lp} fp={fp})",
+                  file=_sys.stderr)
         d = _unflatten_words(words, self._pack_spec(kp, lp, fp, counts))
         d["n_kf"] = n_kf
         d["n_lm"] = n_lm
@@ -835,6 +846,26 @@ class FusedVisualOdometry:
     def trajectory(self) -> dict[int, np.ndarray]:
         keyframes, _, _ = self.drain()
         return {fid: pose for fid, pose in keyframes.values()}
+
+    def warm_drain(self, kf_hint: int = 63, lm_hint: int = 2048,
+                   frame_hint: int = 256, loop_hint: int = 1) -> None:
+        """Pre-load the packed-drain executable at the prefix buckets the
+        final drain will use.
+
+        Same rationale as :meth:`fused_loop.FusedLoopVisualOdometry.warm_pgo`:
+        on the tunnel runtime a DISTINCT executable's first invocation costs
+        ~0.25 s of per-process load even on a persistent-cache hit (measured
+        round 5: the 0.06 MB packed pull took 0.247 s cold, ~0.02 s warm).
+        Call after the warmup step with hints for the FINAL keyframe/
+        landmark/frame counts; the pipeline is deterministic per scene, so
+        the hinted bucket is exact on reruns. A wrong hint only costs one
+        fresh load at drain time (the result is discarded, never cached).
+        """
+        counts = [int(kf_hint), int(lm_hint), int(loop_hint)]
+        kp = min(self.Tmax, _round_up(max(counts[0] + 1, 1), 64))
+        lp = min(self.Lmax, _round_up(max(counts[1], 1), 512))
+        fp = min(self.Fmax, _round_up(max(frame_hint, 1), 256))
+        jax.device_get(self._pack_device(kp, lp, fp, counts))
 
     # ------------------------------------------------------------------ #
     # checkpoint/resume (slam/checkpoint.py save_fused_checkpoint):

@@ -119,10 +119,17 @@ def _loop_hook(ls: LoopState, fs, ms, pyr, frame_id, kf_id, arc, *,
     Tdb = ls.db_embed.shape[0]
 
     # --- 1. place-recognition embedding (loopclosure.cpp:92-129) ---
-    if mnv2_params is not None:
-        emb = mnv2.embed(mnv2_params, mnv2.preprocess(left_img))[0]
-    else:
+    # the params pytree's structure selects the embedder (structure is
+    # static under jit): MobileNet-V2 ("stem" key), the in-repo-trained
+    # PlaceNet ("convs" key, models/place_net.py), or the weight-free
+    # thumbnail when no params are supplied
+    if mnv2_params is None:
         emb = mnv2.embed_image_thumbnail(left_img)
+    elif "convs" in mnv2_params:
+        from stereovision_slam_tpu.models import place_net
+        emb = place_net.embed_image(mnv2_params, left_img)
+    else:
+        emb = mnv2.embed(mnv2_params, mnv2.preprocess(left_img))[0]
 
     # --- 2. ORB descriptors for the keyframe's features (:131-171) ---
     desc, desc_ok = descriptors.compute(left_img, fs.feat_uv, fs.feat_valid,

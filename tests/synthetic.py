@@ -179,11 +179,18 @@ def render_stereo_sequence(key, poses, landmarks, H=188, W=620, sigma=1.5,
     return jnp.stack(lefts), jnp.stack(rights)
 
 
-def _value_noise(x: jax.Array, z: jax.Array, octaves=4, base_scale=0.7):
+def _value_noise(x: jax.Array, z: jax.Array, octaves=4, base_scale=0.7,
+                 phase=0.0):
     """Deterministic multi-octave value noise over 2-D coordinates.
 
     Lattice hashes + bilinear interpolation; smooth, richly textured, exact
     under resampling — what LK/GFTT need to behave like on real imagery.
+
+    `phase` reseeds the lattice hash: two different phases give statistically
+    independent textures (the hash is a chaotic sin-fraction), so randomized
+    WORLDS for embedder training / held-out validation come from the same
+    renderer as the bench scene (phase 0.0 keeps every existing scene
+    bit-identical).
     """
     total = jnp.zeros_like(x)
     amp = 1.0
@@ -200,7 +207,8 @@ def _value_noise(x: jax.Array, z: jax.Array, octaves=4, base_scale=0.7):
         fz = fz * fz * (3.0 - 2.0 * fz)
 
         def h(ix, iz):
-            v = jnp.sin(ix * 127.1 + iz * 311.7 + o * 74.7) * 43758.5453
+            v = jnp.sin(ix * 127.1 + iz * 311.7 + o * 74.7
+                        + phase * 961.7) * 43758.5453
             return v - jnp.floor(v)
 
         v00 = h(x0, z0)
@@ -217,7 +225,7 @@ def _value_noise(x: jax.Array, z: jax.Array, octaves=4, base_scale=0.7):
 @partial(jax.jit, static_argnames=("H", "W", "wall_symmetry"))
 def render_textured_view_cylinder(cam_params, T_cw, H, W, ground_y=1.7,
                                   center_x=0.0, center_z=0.0, radius=30.0,
-                                  wall_symmetry: int = 0):
+                                  wall_symmetry: int = 0, tex_phase=0.0):
     """Raycast variant for loop-closure scenarios: textured ground plane
     inside a textured cylinder wall — a closed arena, so a circular
     trajectory revisits identical views.
@@ -266,7 +274,7 @@ def render_textured_view_cylinder(cam_params, T_cw, H, W, ground_y=1.7,
     py = o[1] + t_hit * d[..., 1]
     pz = o[2] + t_hit * d[..., 2]
 
-    ground = _value_noise(px, pz, octaves=5, base_scale=0.9)
+    ground = _value_noise(px, pz, octaves=5, base_scale=0.9, phase=tex_phase)
     shade = 1.0 / (1.0 + 0.002 * t_hit * t_hit)
     ground_val = 40.0 + 190.0 * ground * (0.35 + 0.65 * shade)
     # wall texture by unrolled angle + height (world-fixed)
@@ -275,13 +283,13 @@ def render_textured_view_cylinder(cam_params, T_cw, H, W, ground_y=1.7,
         period = 2.0 * np.pi / wall_symmetry
         ang_s = jnp.mod(ang, period)
         low = _value_noise(ang_s * radius * 0.8, py * 1.6, octaves=3,
-                           base_scale=0.35)
+                           base_scale=0.35, phase=tex_phase)
         fine = _value_noise(ang * radius * 0.8 + 37.0, py * 1.6, octaves=2,
-                            base_scale=3.2)
+                            base_scale=3.2, phase=tex_phase)
         wall = 0.78 * low + 0.22 * fine
     else:
         wall = _value_noise(ang * radius * 0.8, py * 1.6, octaves=5,
-                            base_scale=0.8)
+                            base_scale=0.8, phase=tex_phase)
     wall_val = 55.0 + 170.0 * wall * (0.4 + 0.6 * shade)
 
     sky_val = 120.0
@@ -292,7 +300,7 @@ def render_textured_view_cylinder(cam_params, T_cw, H, W, ground_y=1.7,
 
 def render_arena_stereo_sequence(poses, H=188, W=620, rig=None,
                                  center=(0.0, 10.0), radius=30.0,
-                                 wall_symmetry: int = 0):
+                                 wall_symmetry: int = 0, tex_phase=0.0):
     """Cylindrical-arena stereo sequence (loop-closure scenarios)."""
     if rig is None:
         rig = make_stereo_rig()
@@ -309,12 +317,14 @@ def render_arena_stereo_sequence(poses, H=188, W=620, rig=None,
                                               center_x=center[0],
                                               center_z=center[1],
                                               radius=radius,
-                                              wall_symmetry=wall_symmetry),
+                                              wall_symmetry=wall_symmetry,
+                                              tex_phase=tex_phase),
                 render_textured_view_cylinder(pr, Tr, H, W,
                                               center_x=center[0],
                                               center_z=center[1],
                                               radius=radius,
-                                              wall_symmetry=wall_symmetry))
+                                              wall_symmetry=wall_symmetry,
+                                              tex_phase=tex_phase))
 
     lefts, rights = [], []
     for t in range(poses.shape[0]):
