@@ -65,6 +65,16 @@ def main():
         lefts, rights = synthetic.render_arena_stereo_sequence(
             poses, H=H, W=W, rig=rig, center=(0.0, 6.0), radius=25.0)
         dist = step * T
+    elif scene == "hard":
+        # the circuit hardened toward real-sequence statistics: occluding
+        # pillars, an independently moving sphere, per-frame exposure drift
+        # + vignette + sensor noise + motion blur (VERDICT r4 #6)
+        step = 0.35
+        poses = synthetic.forward_motion_poses(T, step=step,
+                                               yaw_rate=2 * np.pi / (T - 8))
+        lefts, rights = synthetic.render_hard_arena_stereo_sequence(
+            poses, H=H, W=W, rig=rig, center=(0.0, 6.0), radius=25.0)
+        dist = step * T
     elif scene == "circuit_long":
         # multi-lap circuit for long-sequence throughput (VERDICT r4 #3: the
         # reference free-runs 1000-4500-frame KITTI sequences; fixed drain/

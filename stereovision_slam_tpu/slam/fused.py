@@ -973,9 +973,11 @@ class ScanVisualOdometry(FusedVisualOdometry):
     baking its pose arrays into the executable as dense constants. With the
     cameras passed as runtime arguments the chunk runs at full speed
     (docs/PERFORMANCE.md "chunked dispatch"); `unroll=True`
-    (UnrolledVisualOdometry) additionally unrolls the chunk body, trading a
-    chunk_size-times larger executable/compile for the fastest measured
-    per-frame device time."""
+    (UnrolledVisualOdometry) additionally unrolls the chunk body for a
+    chunk_size-times larger executable/compile — NOT recommended on this
+    runtime (measured ~30 s/chunk under dispatch flood, round 2; see
+    UnrolledVisualOdometry's docstring and docs/PERFORMANCE.md "Dispatch
+    topologies" — the fused per-frame mode is the measured default)."""
 
     def __init__(self, cfg: SlamConfig, dataset, chunk_size: int = 32,
                  unroll: int | bool = False, **kw):

@@ -1,11 +1,21 @@
-"""Loop-closure validation beyond the single circuit (VERDICT r3 #6):
+"""Loop-closure validation beyond the single circuit (VERDICT r3 #6, r4 #5):
 
 * a figure-eight whose crossing pose is revisited with the same heading at
   the end of each lobe — the scored fused pipeline must close >= 2 loops;
 * a perceptual-aliasing arena (4-fold symmetric wall low-frequency texture,
   unique fine detail): the place embedder's look-alike sectors must NOT
-  survive the match/PnP gates as LocalFusions at distant keyframes;
-* embedder precision/recall measured at the bench gates on the circuit.
+  survive the gates as LocalFusions at distant keyframes;
+* a straight self-similar corridor with NO revisit: the max_weak ambiguity
+  gate must suppress the (genuinely high) everything-looks-alike
+  similarities, zero loops accepted;
+* PlaceNet candidate precision/recall measured at the shared gates on the
+  bench circuit.
+
+Every scenario runs the ONE shared operating point
+(`slam.config.PLACENET_LOOP_GATES`) with the trained PlaceNet embedder —
+no per-scene gate tuning (the per-scene keys that DO vary, keyframe cadence
+and feature count, are the same keys the reference's per-sequence configs
+vary, config/stereo_slam_configs/*.yaml).
 
 Matches /root/reference/src/loopclosure.cpp:227-437's gate semantics: the
 embedding proposes, Hamming matching + PnP RANSAC + pose gates dispose.
@@ -19,14 +29,34 @@ import pytest
 from stereovision_slam_tpu.geometry import se3
 from stereovision_slam_tpu.io.kitti import ArraySequenceDataset
 from stereovision_slam_tpu.models import mobilenet_v2 as mnv2
-from stereovision_slam_tpu.slam.config import SlamConfig
+from stereovision_slam_tpu.models import place_net
+from stereovision_slam_tpu.slam.config import (PLACENET_LOOP_GATES,
+                                               SlamConfig)
 from stereovision_slam_tpu.slam.fused_loop import FusedLoopVisualOdometry
 from tests import synthetic
 
 pytestmark = pytest.mark.slow  # e2e renders + full pipeline runs
 
 
-def _run_fused(lefts, rights, cfg, mnv2_params=None):
+def shared_cfg(**overrides):
+    """The shared loop operating point + measured iteration budgets; only
+    reference-sanctioned per-scene keys may be overridden (module
+    docstring)."""
+    allowed = {"num_features", "num_features_init",
+               "num_features_needed_for_keyframe",
+               "min_num_acceptable_keypoint_match",
+               "max_pose_distance_between_loop_keyframes",
+               "max_pose_differnece_between_old_new"}
+    assert set(overrides) <= allowed, set(overrides) - allowed
+    cfg = SlamConfig(num_features=250,
+                     lk_max_iters=12, pose_rounds=3, pose_iters_per_round=6,
+                     ba_lm_iters=6, **overrides)
+    for k, v in PLACENET_LOOP_GATES.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def _run_fused(lefts, rights, cfg, params="placenet"):
     rig = synthetic.make_stereo_rig()
     vo = FusedLoopVisualOdometry(
         cfg, ArraySequenceDataset(np.asarray(lefts), np.asarray(rights),
@@ -34,8 +64,10 @@ def _run_fused(lefts, rights, cfg, mnv2_params=None):
         prefetch_depth=0, max_total_keyframes=256,
         max_total_landmarks=1 << 15)
     vo.initialize()
-    if mnv2_params is not None:
-        vo.mnv2_params = mnv2_params
+    if params == "placenet":
+        params = place_net.get_params()
+        assert params is not None, "PlaceNet weights missing from the repo"
+    vo.mnv2_params = params
     vo._queue = [(i, jnp.asarray(np.asarray(lefts[i])),
                   jnp.asarray(np.asarray(rights[i])))
                  for i in range(len(lefts))]
@@ -44,22 +76,18 @@ def _run_fused(lefts, rights, cfg, mnv2_params=None):
     return vo
 
 
+def _center(p):
+    p = np.asarray(p)
+    return -p[:, :3].T @ p[:, 3]
+
+
 def test_two_loops_close_on_figure_eight():
     T = 112
     poses = synthetic.figure_eight_poses(T, step=0.5)
     lefts, rights = synthetic.render_arena_stereo_sequence(
         poses, rig=synthetic.make_stereo_rig(), center=(0.0, 6.0),
         radius=25.0)
-    cfg = SlamConfig(num_features=250,
-                     num_features_needed_for_keyframe=1000,  # kf every frame
-                     keyframes_to_skip_in_candidate_search=30,
-                     keyframes_to_ignore_after_loop=10,
-                     potential_loop_strong_threshold=0.85,
-                     potential_loop_weak_threshold=0.75,
-                     max_num_weak_threshold=100,
-                     min_num_acceptable_keypoint_match=10,
-                     lk_max_iters=12, pose_rounds=3, pose_iters_per_round=6,
-                     ba_lm_iters=6)
+    cfg = shared_cfg(num_features_needed_for_keyframe=1000)  # kf every frame
     vo = _run_fused(lefts, rights, cfg)
     edges = vo.loop_edges()
     assert len(edges) >= 2, f"only {len(edges)} loop(s) on the figure-eight"
@@ -69,15 +97,10 @@ def test_two_loops_close_on_figure_eight():
     # the shutdown PGO must not degrade the trajectory (same gate as bench)
     keyframes, _, _ = vo.drain()
     traj_pgo = vo.run_pgo()
-
-    def center(p):
-        p = np.asarray(p)
-        return -p[:, :3].T @ p[:, 3]
-
     gt = np.asarray(poses)
-    pre = [np.linalg.norm(center(pose) - center(gt[fid]))
+    pre = [np.linalg.norm(_center(pose) - _center(gt[fid]))
            for fid, pose in keyframes.values()]
-    post = [np.linalg.norm(center(p) - center(gt[fid]))
+    post = [np.linalg.norm(_center(p) - _center(gt[fid]))
             for fid, p in traj_pgo.items()]
     ate_pre = float(np.sqrt(np.mean(np.square(pre))))
     ate_post = float(np.sqrt(np.mean(np.square(post))))
@@ -86,7 +109,7 @@ def test_two_loops_close_on_figure_eight():
 
 
 def test_no_false_fusion_on_aliased_arena():
-    """4-fold symmetric wall: sectors 90 degrees apart look alike to the
+    """4-fold symmetric wall: sectors 90 degrees apart look alike to a
     pooled embedder, but their fine structure (and 3-D geometry) differs.
     Drive 3/4 of a circuit — every revisit candidate is a FALSE one (the
     true revisit never happens) — and require zero accepted loops."""
@@ -96,16 +119,7 @@ def test_no_false_fusion_on_aliased_arena():
     lefts, rights = synthetic.render_arena_stereo_sequence(
         poses, rig=synthetic.make_stereo_rig(), center=(0.0, 6.0),
         radius=25.0, wall_symmetry=4)
-    cfg = SlamConfig(num_features=250,
-                     num_features_needed_for_keyframe=1000,
-                     keyframes_to_skip_in_candidate_search=15,
-                     keyframes_to_ignore_after_loop=5,
-                     potential_loop_strong_threshold=0.90,
-                     potential_loop_weak_threshold=0.85,
-                     max_num_weak_threshold=100,
-                     min_num_acceptable_keypoint_match=10,
-                     lk_max_iters=12, pose_rounds=3, pose_iters_per_round=6,
-                     ba_lm_iters=6)
+    cfg = shared_cfg(num_features_needed_for_keyframe=1000)
     vo = _run_fused(lefts, rights, cfg)
     edges = vo.loop_edges()
     gt = np.asarray(poses)
@@ -115,52 +129,74 @@ def test_no_false_fusion_on_aliased_arena():
         # the pair small) — on this 3/4 arc nothing qualifies
         fi = kfs[e.kf_id][0]
         fj = kfs[e.loop_kf_id][0]
-        d = np.linalg.norm(
-            (-gt[fi][:, :3].T @ gt[fi][:, 3])
-            - (-gt[fj][:, :3].T @ gt[fj][:, 3]))
+        d = np.linalg.norm(_center(gt[fi]) - _center(gt[fj]))
         assert d < 2.0, (
             f"false LocalFusion: kf {e.kf_id}->{e.loop_kf_id} "
             f"gt distance {d:.1f} m")
     assert len(edges) == 0, f"{len(edges)} aliased loop(s) accepted"
 
 
-def test_embedder_precision_recall_on_circuit():
-    """Thumbnail-embedder discrimination at the bench gates (0.52 strong),
-    measured the way the pipeline consumes it: per frame, does the ARGMAX
-    candidate beyond the skip window fire, and is it a true revisit
-    (< 2 m)? Measured on this circuit: candidate precision ~0.32, recall
-    ~0.77 — a high-recall proposer whose precision the PnP/match gates
-    supply (exactly the bench's max_weak=100 operating point; the
-    reference's MobileNet runs much tighter gates, 0.95/0.92/3)."""
+def test_no_loops_on_straight_selfsimilar_corridor():
+    """Forward motion through the textured world: no revisit ever happens,
+    yet to a place embedder every frame of a straight corridor looks alike
+    (measured: 32-64 database entries above the weak threshold). The
+    max_weak ambiguity gate — the reference's max_num_weak_threshold,
+    loopclosure.cpp:259-276 — must suppress every candidate; any survivor
+    must die at the PnP/pose gates. Zero accepted loops."""
+    T = 80
+    poses = synthetic.forward_motion_poses(T, step=0.5, yaw_rate=0.0)
+    lefts, rights = synthetic.render_textured_stereo_sequence(
+        poses, rig=synthetic.make_stereo_rig())
+    cfg = shared_cfg(num_features_needed_for_keyframe=1000)
+    vo = _run_fused(lefts, rights, cfg)
+    assert len(vo.loop_edges()) == 0, "loop accepted on a straight corridor"
+
+
+def test_placenet_precision_recall_on_circuit():
+    """PlaceNet discrimination at the shared gates, measured the way the
+    pipeline consumes it: per frame, does the ARGMAX candidate beyond the
+    skip window fire at the strong gate, and is it a true revisit (< 2 m,
+    same heading)? The trained embedder must reach precision >= 0.7 AND
+    recall >= 0.7 (VERDICT r4 #4; the weight-free thumbnail measured ~0.32
+    precision here)."""
     T = 96
     yaw = 2 * np.pi / (T - 8)
     poses = synthetic.forward_motion_poses(T, step=0.35, yaw_rate=yaw)
     lefts, _ = synthetic.render_arena_stereo_sequence(
         poses, rig=synthetic.make_stereo_rig(), center=(0.0, 6.0),
         radius=25.0)
-    embs = np.stack([np.asarray(mnv2.embed_image_thumbnail(
-        jnp.asarray(np.asarray(l)))) for l in lefts])
+    params = place_net.get_params()
+    assert params is not None
+    embs = np.stack([np.asarray(place_net.embed_image(
+        params, jnp.asarray(np.asarray(l)))) for l in lefts])
     gt = np.asarray(poses)
-    cen = np.stack([-p[:, :3].T @ p[:, 3] for p in gt])
+    cen = np.stack([_center(p) for p in gt])
+    yaws = np.array([np.arctan2(-p[2, 0], p[2, 2]) for p in gt])
     sims = embs @ embs.T
-    skip = 24
+    skip = PLACENET_LOOP_GATES["keyframes_to_skip_in_candidate_search"]
+    strong = PLACENET_LOOP_GATES["potential_loop_strong_threshold"]
+
+    def true_pair(i, j):
+        return (np.linalg.norm(cen[i] - cen[j]) < 2.0
+                and abs(np.angle(np.exp(1j * (yaws[i] - yaws[j]))))
+                < np.deg2rad(20))
+
     fired = correct = have_revisit = hit = 0
     for i in range(skip + 1, T):
         js = sims[i, :i - skip]
         j = int(np.argmax(js))
-        true_exists = bool((np.linalg.norm(
-            cen[i][None] - cen[:i - skip], axis=1) < 2.0).any())
+        true_exists = any(true_pair(i, k) for k in range(i - skip))
         have_revisit += true_exists
-        if js[j] >= 0.52:
+        if js[j] >= strong:
             fired += 1
-            good = np.linalg.norm(cen[i] - cen[j]) < 2.0
+            good = true_pair(i, j)
             correct += good
             hit += true_exists and good
     assert have_revisit > 0, "scene produced no ground-truth revisits"
     recall = hit / have_revisit
     precision = correct / max(fired, 1)
-    assert recall >= 0.6, f"candidate recall {recall:.2f}"
-    assert precision >= 0.25, f"candidate precision {precision:.2f}"
+    assert recall >= 0.7, f"candidate recall {recall:.2f}"
+    assert precision >= 0.7, f"candidate precision {precision:.2f}"
 
 
 def test_mnv2_path_at_reference_gates():
@@ -185,7 +221,7 @@ def test_mnv2_path_at_reference_gates():
                      lk_max_iters=12, pose_rounds=3, pose_iters_per_round=6,
                      ba_lm_iters=6)
     params = mnv2.init_params(seed=0)
-    vo = _run_fused(lefts, rights, cfg, mnv2_params=params)
+    vo = _run_fused(lefts, rights, cfg, params=params)
     keyframes, landmarks, frames = vo.drain()
     assert len(keyframes) >= T - 5
     assert all(np.isfinite(np.asarray(p)).all()
