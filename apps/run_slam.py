@@ -97,6 +97,12 @@ def main() -> int:
                 FusedLoopVisualOdometry
             vo = FusedLoopVisualOdometry(
                 cfg, dataset, mnv2_weights_path=cfg.dnn_weights_path)
+            if vo.mnv2_params is None:
+                # no MobileNet artifact: deploy the in-repo-trained PlaceNet
+                # embedder (falls through to the thumbnail if its weights
+                # artifact is also absent) — models/place_net.py
+                from stereovision_slam_tpu.models import place_net
+                vo.mnv2_params = place_net.get_params()
         else:
             cls = {"fused": FusedVisualOdometry, "scan": ScanVisualOdometry,
                    "unrolled": UnrolledVisualOdometry}[mode]

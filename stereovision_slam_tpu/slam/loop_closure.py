@@ -99,11 +99,14 @@ class LoopClosure:
     def __init__(self, cfg, cam_left, mnv2_weights_path: str | None = None,
                  embedder: str = "auto", pgo_mesh=None):
         """embedder: 'mobilenet' (requires weights for useful similarity),
+        'placenet' (the in-repo-trained embedder, models/place_net.py),
         'thumbnail' (weight-free tiny-image descriptor), or 'auto'
-        (mobilenet when a weights file exists, thumbnail otherwise).
+        (mobilenet when a weights file exists, else placenet when its
+        shipped artifact exists, thumbnail as the last resort).
         pgo_mesh: optional jax.sharding.Mesh — the shutdown PGO shards its
         edges over it (parallel/sharded_pgo.py) instead of running
         single-device."""
+        from stereovision_slam_tpu.models import place_net
         self.cfg = cfg
         self.cam_left = cam_left
         self.pgo_mesh = pgo_mesh
@@ -111,10 +114,16 @@ class LoopClosure:
         have_weights = bool(mnv2_weights_path) and os.path.exists(
             mnv2_weights_path or "")
         if embedder == "auto":
-            embedder = "mobilenet" if have_weights else "thumbnail"
+            embedder = ("mobilenet" if have_weights else
+                        "placenet" if os.path.exists(place_net.WEIGHTS_PATH)
+                        else "thumbnail")
         self.embedder = embedder
-        self.params = mnv2.get_params(mnv2_weights_path) \
-            if embedder == "mobilenet" else None
+        if embedder == "mobilenet":
+            self.params = mnv2.get_params(mnv2_weights_path)
+        elif embedder == "placenet":
+            self.params = place_net.get_params()
+        else:
+            self.params = None
         self.db: dict[int, ProcessedKeyframe] = {}
         # similarity-scan cache: capacity-doubling (cap, 1280) matrix +
         # parallel id vector, appended on insert (invalidate_scan_cache()
@@ -193,6 +202,9 @@ class LoopClosure:
         left = jnp.asarray(frame.left, jnp.float32)
         if self.embedder == "mobilenet":
             embedding = np.asarray(mnv2.embed_image(self.params, left))
+        elif self.embedder == "placenet":
+            from stereovision_slam_tpu.models import place_net
+            embedding = np.asarray(place_net.embed_image(self.params, left))
         else:
             embedding = np.asarray(mnv2.embed_image_thumbnail(left))
         fs, ms = vo.fs, vo.ms
