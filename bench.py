@@ -39,9 +39,9 @@ Measurement protocol — HONEST throughput (round 2 revision, kept):
   * Per-frame outputs live in a preallocated device buffer written by frame
     index inside the fused program; archives are pulled as used-prefix
     slices — drain is a handful of transfers, not a T-operand stack.
-  * A tiny readback every 32 frames keeps the dispatch queue bounded (the
+  * A tiny readback every 64 frames keeps the dispatch queue bounded (the
     runtime degrades ~10x under unsynchronized floods of >>60 dispatches,
-    benchmarks/probe_stream.py; fps plateaus at sync cadence 32-64). The
+    benchmarks/probe_stream.py; round-5 A/B: 64 beats 32 and 96). The
     sync waits for true completion, so it can only make the measured fps
     SLOWER, never faster.
   * Executable LOADS are warmed off the clock (warm_pgo/warm_drain): on the
@@ -285,7 +285,11 @@ def main():
     import synthetic
 
     H, W = 188, 620
-    SYNC = int(os.environ.get("BENCH_SYNC", "32"))
+    # sync cadence 64: round-5 A/B (two runs each) measured 64 > 32 > 96
+    # (230-234 vs 189-193 vs 205 fps short) — with the round-5 device-time
+    # cuts the sync's round trip is now a larger fraction of a 32-frame
+    # segment, while 96 crosses the >>60-deep dispatch-flood edge
+    SYNC = int(os.environ.get("BENCH_SYNC", "64"))
     T_LONG = int(os.environ.get("BENCH_LONG", "480"))  # 0 disables long pass
     SCENE = os.environ.get("BENCH_SCENE", "circuit")
     MODE = os.environ.get("BENCH_MODE", "fused")

@@ -44,9 +44,24 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 256          # lanes per grid step (points per sequential chunk)
 _TW = 16              # template-window side: 12 sample ints + Scharr halo
                       # of 1 each side (14 used), rounded to 8
+# Lanes per grid step are sized to a VMEM budget rather than fixed: grid
+# steps run SEQUENTIALLY, and at 256 lanes the per-iteration (S, n) row ops
+# are issue-bound (measured round 5: the vmapped per-lane kernel cost B x
+# single-lane time — no batching win at all). Wider chunks amortize the
+# fixed per-op issue cost over more lanes. The budget is on the (Py, Px, ch)
+# current-image window BLOCK; peak scoped VMEM is ~3.5x that (input pipeline
+# double-buffering, the in-kernel `big` value, bilinear row temporaries,
+# template/gradient patches) — a 6 MB block budget measured 16.17M scoped
+# (just over the 16M limit), 3.5 MB leaves headroom.
+_BLOCK_BUDGET = 3_500_000
+_CHUNK_MAX = 1024
+
+
+def _chunk_for(Py: int, Px: int) -> int:
+    ch = (_BLOCK_BUDGET // (Py * Px * 4)) // 128 * 128
+    return int(max(256, min(_CHUNK_MAX, ch)))
 
 
 def _sample_template(X, tfx, tfy, win: int):
@@ -229,8 +244,8 @@ def lk_level_lanes(bigT, prevT, meta, *, S: int, Py: int, Px: int,
     [x, y, frozen, left_win, solvable, ...].
     """
     n = bigT.shape[-1]
-    assert n % 128 == 0, n
-    ch = min(_CHUNK, n)
+    ch = min(_chunk_for(Py, Px), n)
+    assert n % ch == 0, (n, ch)
     grid = (n // ch,)
 
     kernel = functools.partial(
@@ -367,7 +382,6 @@ def track_grouped_lanes(tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks,
     num_levels = len(tmpl_pyramids)
     G, N, _ = pts.shape
     n = G * N
-    n_pad = _round_up(n, 128)
     scale_top = 0.5 ** (num_levels - 1)
     guesses = initial_pts * scale_top                      # (G, N, 2)
     pad = win_size // 2 + 2
@@ -384,6 +398,11 @@ def track_grouped_lanes(tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks,
                                               (pad, pad)), mode="edge")
         Hp, Wp = prev_p.shape[1:]
         Py, Px = level_window_shape(level, Hp, Wp, win_size)
+        # pad the lane count to the level's chunk size (one chunk when it
+        # fits, whole chunks otherwise — see _chunk_for)
+        ch = _chunk_for(Py, Px)
+        npad256 = _round_up(n, 256)
+        n_pad = npad256 if npad256 <= ch else _round_up(n, ch)
         g_in = guesses + off
         bigT, prevT, meta, tmpl_ok = jax.vmap(
             _prep_level, in_axes=(0, 0, 0, 0, None, None, None))(

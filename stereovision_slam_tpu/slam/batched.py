@@ -61,7 +61,7 @@ _STAGGER_STATICS = (
     "num_levels", "num_features", "min_distance", "quality_level",
     "max_depth", "num_active", "kf_threshold", "bad_threshold", "chi2_th",
     "backend_on", "ba_iters", "detector", "ba_max_active", "m",
-    "lk_iters", "pose_rounds", "pose_iters")
+    "lk_iters", "pose_rounds", "pose_iters", "fold_tracks")
 
 
 @partial(jax.jit, static_argnames=_STAGGER_STATICS,
@@ -73,7 +73,7 @@ def batched_staggered_step(fs, ms, arc, kf_count, left_img, right_img,
                            kf_threshold=80, bad_threshold=20, chi2_th=5.991,
                            backend_on=True, ba_iters=10, detector="gftt",
                            ba_max_active=None, m=1, lk_iters=30,
-                           pose_rounds=4, pose_iters=10):
+                           pose_rounds=4, pose_iters=10, fold_tracks=True):
     """Advance B streams one frame with a STAGGERED keyframe branch.
 
     Under vmap every per-lane `lax.cond` lowers to both-branches + select,
@@ -94,22 +94,41 @@ def batched_staggered_step(fs, ms, arc, kf_count, left_img, right_img,
     """
     B = left_img.shape[0]
 
-    # ---- 1. tracking for all lanes (one vmapped program) ----
-    def track_one(fs, ms, left, right):
-        both = imops.build_pyramid_batched(jnp.stack([left, right]),
-                                           num_levels)
-        pyr = tuple(lv[0] for lv in both)
-        right_pyr = tuple(lv[1] for lv in both)
-        fs2, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
-                                             right_pyr, cam_right,
-                                             chi2_th=chi2_th,
-                                             rounds=pose_rounds,
-                                             iters=pose_iters,
-                                             lk_iters=lk_iters)
-        return fs2, n_in, n_tracked, right_pyr
+    # ---- 1. tracking for all lanes ----
+    if fold_tracks:
+        # lane-folded topology (round 5): pyramids vmapped, then ONE
+        # track_step_serving whose two LK solves fold every stream's
+        # points into the lane-major kernel (G=B and G=2B groups) — the
+        # vmap-of-track_step alternative batches the Pallas kernel into
+        # sequential per-lane grid steps and measured exactly B x
+        # single-lane cost (docs/PERFORMANCE.md round 5)
+        def pyr_one(left, right):
+            both = imops.build_pyramid_batched(jnp.stack([left, right]),
+                                               num_levels)
+            return (tuple(lv[0] for lv in both),
+                    tuple(lv[1] for lv in both))
 
-    fs, n_in, n_tracked, right_pyrs = jax.vmap(track_one, in_axes=(0, 0, 0, 0))(
-        fs, ms, left_img, right_img)
+        pyrs, right_pyrs = jax.vmap(pyr_one)(left_img, right_img)
+        fs, n_in, n_tracked = fe.track_step_serving(
+            fs, ms, pyrs, cam_left, right_pyrs, cam_right,
+            chi2_th=chi2_th, rounds=pose_rounds, iters=pose_iters,
+            lk_iters=lk_iters)
+    else:
+        def track_one(fs, ms, left, right):
+            both = imops.build_pyramid_batched(jnp.stack([left, right]),
+                                               num_levels)
+            pyr = tuple(lv[0] for lv in both)
+            right_pyr = tuple(lv[1] for lv in both)
+            fs2, n_in, n_tracked = fe.track_step(fs, ms, pyr, cam_left,
+                                                 right_pyr, cam_right,
+                                                 chi2_th=chi2_th,
+                                                 rounds=pose_rounds,
+                                                 iters=pose_iters,
+                                                 lk_iters=lk_iters)
+            return fs2, n_in, n_tracked, right_pyr
+
+        fs, n_in, n_tracked, right_pyrs = jax.vmap(
+            track_one, in_axes=(0, 0, 0, 0))(fs, ms, left_img, right_img)
     lost = n_in <= bad_threshold
     want_kf = (n_in < kf_threshold) & ~lost
 

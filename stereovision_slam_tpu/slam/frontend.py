@@ -253,6 +253,109 @@ def track_step(fs: FrontendState, m: mapmod.MapState, cur_pyr: tuple,
     return fs_new, num_inliers, num_tracked
 
 
+def track_step_serving(fs, m, cur_pyr, cam_left, cur_right_pyr, cam_right,
+                       *, chi2_th: float = 5.991, rounds: int = 4,
+                       iters: int = 10, lk_iters: int = 30,
+                       pallas_mode=None):
+    """The default tracking topology (anchored + stereo + fused tracks +
+    multi-start) over B streams at once, with ALL lanes folded into the
+    lane-major LK kernel.
+
+    The serving path used to `vmap` :func:`track_step` over streams, which
+    batches the Pallas LK into SEQUENTIAL per-lane grid steps — measured
+    round 5 at exactly B x single-stream cost (no batching win; the kernel
+    is issue-bound at 256 lanes). Here the two LK solves run as
+    `track_grouped_lanes` calls with G = B and G = 2B groups, so every
+    stream's points share wide lane-dense chunks (`lk_lanes._chunk_for`),
+    while the cheap per-stream math (landmark guesses, pose solve, status
+    bookkeeping) stays vmapped. Per-stream numerics are IDENTICAL to
+    `vmap(track_step)` — asserted by tests/test_batched.py.
+
+    Args mirror :func:`track_step` with a leading B axis on `fs`/`m` and
+    (B, H, W) pyramid levels. Returns (fs', num_inliers (B,),
+    num_tracked (B,)).
+    """
+    B, F = fs.feat_uv.shape[:2]
+    if pallas_mode is None:
+        pallas_mode = "lanes" if jax.default_backend() != "cpu" else "xla"
+
+    T_guess = jax.vmap(se3.se3_compose)(fs.T_rel, fs.T_cur)
+    half_rel = jax.vmap(lambda r: se3.se3_exp(0.5 * se3.se3_log(r)))(
+        fs.T_rel)
+    T_inits = jnp.stack([
+        T_guess, fs.T_cur,
+        jax.vmap(se3.se3_compose)(half_rel, fs.T_cur)], axis=1)  # (B, 3, 3, 4)
+    guess, lm_pos, linked = jax.vmap(
+        _landmark_guesses, in_axes=(None, 0, 0, 0, 0, 0))(
+        cam_left, T_guess, m, fs.feat_uv, fs.feat_lm, fs.feat_valid)
+
+    # frame-to-frame LK, all B streams folded (G = B)
+    uv_a, st_a = lk.track_batched(
+        [jnp.asarray(lv) for lv in fs.pyr],
+        [jnp.asarray(lv) for lv in cur_pyr],
+        fs.feat_uv, guess, fs.feat_valid, max_iters=lk_iters,
+        pallas_mode=pallas_mode)
+    status = st_a
+    mask_c = fs.feat_valid & st_a & linked
+    guess_r, _, _ = jax.vmap(
+        _landmark_guesses, in_axes=(None, 0, 0, 0, 0, 0))(
+        cam_right, T_guess, m, uv_a, fs.feat_lm, fs.feat_valid)
+
+    # anchored refinement + right-image solve, folded as G = 2B
+    tmpl = [jnp.concatenate([r, c], axis=0)
+            for r, c in zip(fs.ref_pyr, cur_pyr)]
+    tgt = [jnp.concatenate([c, rr], axis=0)
+           for c, rr in zip(cur_pyr, cur_right_pyr)]
+    uv_g, st_g = lk.track_batched(
+        tmpl, tgt,
+        jnp.concatenate([fs.ref_uv, uv_a], axis=0),
+        jnp.concatenate([uv_a, guess_r], axis=0),
+        jnp.concatenate([fs.feat_valid, mask_c], axis=0),
+        max_iters=lk_iters, pallas_mode=pallas_mode)
+    cur_uv = jnp.where(st_g[:B][..., None], uv_g[:B], uv_a)
+    uv_r, status_r = uv_g[B:], st_g[B:]
+
+    tracked = fs.feat_valid & status
+    num_tracked = jnp.sum(tracked, axis=1).astype(jnp.int32)
+    use = tracked & linked
+    use_r = use & status_r
+
+    if pallas_mode in ("lanes", "pallas"):
+        from stereovision_slam_tpu.ops.pose_pallas import solve_pose_multi_lr
+        T_new, inlier2, _ = jax.vmap(
+            lambda Ti, lm1, uv1, uvr1, u1, ur1: solve_pose_multi_lr(
+                cam_left, cam_right, Ti, lm1, uv1, uvr1, u1, ur1,
+                chi2_th=chi2_th, rounds=rounds, iters=iters))(
+            T_inits, lm_pos, cur_uv, uv_r, use, use_r)
+    else:
+        def one_pose(T_inits1, lm1, uv1, uvr1, use1, user1):
+            cam_obs = _blend_obs_cameras(cam_left, cam_right, F, F)
+            pts2 = jnp.concatenate([lm1, lm1], axis=0)
+            obs2 = jnp.concatenate([uv1, uvr1], axis=0)
+            valid2 = jnp.concatenate([use1, user1], axis=0)
+            return solve_pose_multi(cam_obs, T_inits1, pts2, obs2, valid2,
+                                    chi2_th=chi2_th, rounds=rounds,
+                                    iters=iters)
+        T_new, inlier2, _ = jax.vmap(one_pose)(
+            T_inits, lm_pos, cur_uv, uv_r, use, use_r)
+    inlier = inlier2[:, :F]
+    num_inliers = jnp.sum(inlier, axis=1).astype(jnp.int32)
+
+    feat_lm = jnp.where(tracked & ~(use & ~inlier), fs.feat_lm, -1)
+    fs_new = FrontendState(
+        T_cur=T_new,
+        T_rel=jax.vmap(lambda a, b: se3.se3_compose(a, se3.se3_inverse(b)))(
+            T_new, fs.T_cur),
+        feat_uv=cur_uv,
+        feat_lm=feat_lm,
+        feat_valid=tracked,
+        pyr=tuple(cur_pyr),
+        ref_uv=fs.ref_uv,
+        ref_pyr=fs.ref_pyr,
+    )
+    return fs_new, num_inliers, num_tracked
+
+
 @partial(jax.jit, static_argnames=(
     "num_features", "min_distance", "quality_level", "max_depth",
     "num_active", "detect_all", "detector", "lk_iters"), donate_argnums=(1,))

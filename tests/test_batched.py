@@ -172,3 +172,59 @@ def test_batched_staggered_tracks_accurately():
     for b in range(B):
         n_in = [int(o.n_inliers) for _, o in bvo.outputs[b]]
         assert min(n_in) > 10, f"lane {b}: {n_in}"
+
+
+def test_staggered_fold_matches_vmap_topology():
+    """The lane-folded serving tracking (fe.track_step_serving, round 5)
+    must produce EXACTLY the per-stream results of the vmapped track_step
+    topology — the fold only changes how LK lanes are batched, never the
+    per-group math."""
+    from stereovision_slam_tpu.slam.batched import batched_staggered_step
+    from stereovision_slam_tpu.slam import frontend as fe
+    from stereovision_slam_tpu.slam import map_state as mapmod
+    from stereovision_slam_tpu.ops import image as imops
+
+    B, T = 3, 6
+    streams = [make_stream(s, T=T) for s in range(B)]
+    cfg = small_config()
+    bvo = BatchedFusedVisualOdometry(
+        cfg, [ArraySequenceDataset(*data) for data, _ in streams],
+        max_total_keyframes=64, max_total_landmarks=2048, kf_stagger=B)
+    bvo.initialize()
+    # drive a few frames with the default (folded) path to build real state
+    for _ in range(3):
+        bvo.step()
+    lefts = jnp.asarray(np.stack([np.asarray(s[0][0][4]) for s in streams]))
+    rights = jnp.asarray(np.stack([np.asarray(s[0][1][4]) for s in streams]))
+    fids = jnp.full((B,), 4, jnp.int32)
+    statics = dict(
+        num_levels=cfg.lk_num_levels, num_features=cfg.num_features,
+        min_distance=cfg.gftt_min_distance,
+        quality_level=cfg.gftt_quality_level,
+        max_depth=cfg.max_triangulation_depth,
+        num_active=cfg.num_active_keyframes,
+        kf_threshold=cfg.num_features_needed_for_keyframe,
+        bad_threshold=cfg.num_features_tracking_bad,
+        chi2_th=cfg.chi2_th, backend_on=True, ba_iters=4,
+        detector="gftt", ba_max_active=None, m=1,
+        lk_iters=12, pose_rounds=3, pose_iters=6)
+    outs = {}
+    for fold in (True, False):
+        fs, ms, arc, kfc, out = batched_staggered_step(
+            jax.tree.map(jnp.copy, bvo.fs),
+            jax.tree.map(jnp.copy, bvo.ms),
+            jax.tree.map(jnp.copy, bvo.arc),
+            jnp.copy(bvo.kf_count), lefts, rights, fids,
+            jnp.asarray(0, jnp.int32), bvo.cam_left, bvo.cam_right,
+            fold_tracks=fold, **statics)
+        outs[fold] = (fs, out)
+    fa, oa = outs[True]
+    fb, ob = outs[False]
+    np.testing.assert_allclose(np.asarray(fa.T_cur), np.asarray(fb.T_cur),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(oa.n_inliers),
+                                  np.asarray(ob.n_inliers))
+    np.testing.assert_allclose(np.asarray(fa.feat_uv),
+                               np.asarray(fb.feat_uv), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fa.feat_valid),
+                                  np.asarray(fb.feat_valid))

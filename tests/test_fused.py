@@ -67,3 +67,28 @@ def test_fused_matches_classic(scene):
     assert set(est_f.keys()) == set(est_c.keys())
     for fid in est_f:
         np.testing.assert_allclose(est_f[fid], est_c[fid], atol=5e-3)
+
+
+def test_warm_drain_is_pure_and_bucket_tolerant(scene):
+    """warm_drain pre-loads the packed-drain executable (round-5 bench
+    setup); it must not disturb streaming state, and a WRONG bucket hint
+    must still leave drain() exact (it just pays a fresh executable)."""
+    lefts, rights, rig, poses = scene
+    cfg = small_config()
+
+    ref = FusedVisualOdometry(cfg, ArraySequenceDataset(lefts, rights, rig))
+    ref.initialize()
+    ref.run()
+    kf_ref, lm_ref, _ = ref.drain()
+
+    vo = FusedVisualOdometry(cfg, ArraySequenceDataset(lefts, rights, rig))
+    vo.initialize()
+    assert vo.step()
+    # mid-stream warm with deliberately mismatched hints
+    vo.warm_drain(kf_hint=5, lm_hint=100, frame_hint=4, loop_hint=1)
+    vo.run()
+    keyframes, landmarks, _ = vo.drain()
+    assert set(keyframes.keys()) == set(kf_ref.keys())
+    for k in keyframes:
+        np.testing.assert_array_equal(keyframes[k][1], kf_ref[k][1])
+    assert set(landmarks.keys()) == set(lm_ref.keys())
