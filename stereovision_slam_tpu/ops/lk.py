@@ -189,6 +189,23 @@ def _track_level(prev_img, cur_img, prev_pts, guesses, win_size, max_iters, eps,
     return out_pts, ok
 
 
+def _lanes_levels_ok(pyramid, win_size: int) -> bool:
+    """True when every pyramid level is large enough for the lane kernel's
+    per-level windows: level_window_shape clamps Py/Px to >= round_up(S, 8),
+    and a padded level SMALLER than that floor would make the one-hot window
+    gather zero-fill out-of-range rows (corrupt patches) instead of
+    erroring — the hazard the XLA windowed path guards with its full-image
+    fallback (see `_track_level`)."""
+    pad = win_size // 2 + 2
+    s8 = -(-(win_size + 1) // 8) * 8
+    for lv in pyramid:
+        H, W = lv.shape[-2:]
+        if (((H + 2 * pad) // 8) * 8 < s8
+                or ((W + 2 * pad) // 8) * 8 < s8):
+            return False
+    return True
+
+
 def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
           win_size: int = 11, max_iters: int = 30, eps: float = 0.01,
           min_eig_threshold: float = 1e-4, mask=None, windowed=None,
@@ -221,8 +238,15 @@ def track(prev_pyramid, cur_pyramid, prev_pts, initial_pts=None, *,
         # default: the lane-major fused kernel on TPU (slope-measured r5:
         # 1.04 -> 0.37 ms single-group, 3.01 -> 1.11 ms for the frontend's
         # 3-group batch), the XLA while_loop elsewhere (the Pallas
-        # interpreter is far slower than plain XLA on CPU)
-        pallas_mode = "lanes" if jax.default_backend() != "cpu" else "xla"
+        # interpreter is far slower than plain XLA on CPU). windowed=False
+        # is an explicit request for full-image sampling, which the lanes
+        # kernel (always windowed) cannot honor; tiny coarse levels fall
+        # back too (the lane windows would exceed the level image —
+        # lk_lanes.level_window_shape's clamp floor).
+        pallas_mode = ("lanes" if jax.default_backend() != "cpu"
+                       and windowed is not False
+                       and _lanes_levels_ok(prev_pyramid, win_size)
+                       else "xla")
     if pallas_mode in ("lanes", "lanes-interpret"):
         # lane-major fused path: the whole per-level iteration loop is one
         # Pallas kernel with points in the lane dimension (ops/lk_lanes.py)
@@ -295,6 +319,15 @@ def track_batched(tmpl_pyramids, tgt_pyramids, pts, initial_pts, masks, *,
 
     Returns (cur_pts (G, N, 2), status (G, N)).
     """
+    # None falls through to the vmap path (each group resolves its own
+    # default inside `track`). Folding the G groups into one lane-major
+    # call (pallas_mode="lanes" explicitly) was A/B'd for the frontend's
+    # 2-group solve in round 5 and measured NEUTRAL-to-slightly-worse
+    # (1.21 -> 1.26-1.31 ms track_step): the folded chunk's while_loop
+    # runs to the WORST group's iteration count over 2x-wide per-iteration
+    # ops, which cancels the issue-cost saving. The serving path still
+    # folds (frontend.track_step_serving) because at G=B>=8 the vmap
+    # alternative serializes B grid steps.
     if pallas_mode in ("lanes", "lanes-interpret"):
         # fold the group axis into the kernel's lane dimension instead of
         # vmapping (ops/lk_lanes.py module docstring)

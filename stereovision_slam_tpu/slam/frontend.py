@@ -274,6 +274,13 @@ def track_step_serving(fs, m, cur_pyr, cam_left, cur_right_pyr, cam_right,
     Args mirror :func:`track_step` with a leading B axis on `fs`/`m` and
     (B, H, W) pyramid levels. Returns (fs', num_inliers (B,),
     num_tracked (B,)).
+
+    MAINTENANCE CONTRACT: this function restates track_step's default
+    topology with vmapped/folded variants — any semantic change to
+    track_step (the anchored-trust rule, the outlier unlink rule, the
+    pose branch) MUST be mirrored here; tests/test_batched.py::
+    test_staggered_fold_matches_vmap_topology asserts exact equality of
+    the two on CPU and will catch a missed mirror on the XLA arms.
     """
     B, F = fs.feat_uv.shape[:2]
     if pallas_mode is None:

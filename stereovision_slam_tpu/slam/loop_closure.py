@@ -122,6 +122,13 @@ class LoopClosure:
             self.params = mnv2.get_params(mnv2_weights_path)
         elif embedder == "placenet":
             self.params = place_net.get_params()
+            if self.params is None:
+                # fail HERE with a clear message, not as a TypeError deep
+                # inside the first add_keyframe's jit trace
+                raise FileNotFoundError(
+                    f"embedder='placenet' but the weights artifact is "
+                    f"missing ({place_net.WEIGHTS_PATH}); train it with "
+                    "benchmarks/train_place_net.py or use embedder='auto'")
         else:
             self.params = None
         self.db: dict[int, ProcessedKeyframe] = {}
