@@ -126,3 +126,20 @@ def test_track_entrypoint_lanes_mode(scene):
     uv_b, st_b = _lanes(pyr_p, pyr_c, pts, mask, max_iters=10)
     np.testing.assert_allclose(np.asarray(uv_a), uv_b, atol=1e-5)
     assert (np.asarray(st_a) == st_b).all()
+
+
+def test_lanes_levels_guard():
+    """_lanes_levels_ok must reject pyramids whose coarse levels are too
+    small for the lane kernel's clamped windows (the one-hot gather would
+    zero-fill out-of-range rows) and accept the operating sizes."""
+    import jax.numpy as jnp
+    from stereovision_slam_tpu.ops import image as imops
+    from stereovision_slam_tpu.ops.lk import _lanes_levels_ok
+
+    # KITTI operating point: 4 levels of 188x620 -> coarsest 23x77, fine
+    pyr = imops.build_pyramid(jnp.zeros((188, 620)), 4)
+    assert _lanes_levels_ok(pyr, 11)
+    # an 8-row image's level-3 is 1 row tall -> padded 15, below the
+    # 16-row clamp floor -> must fall back
+    tiny = imops.build_pyramid(jnp.zeros((8, 40)), 4)
+    assert not _lanes_levels_ok(tiny, 11)
